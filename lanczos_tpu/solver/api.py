@@ -1,0 +1,127 @@
+"""User-facing eigensolver driver: lanczos -> tridiag eigh -> Ritz -> accept.
+
+One call replaces the reference's four-step ritual
+(``Lanczos(H)``; ``execute_Lanczos(n)``; ``get_H_eigs()``;
+``print_good_eigs()`` — Regular/3Ddeuteron.py:94-97).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.operators import LinearOperator, as_operator
+from .lanczos import lanczos
+from .results import EigResult, acceptance_inner_prod
+from .tridiag import cullum_willoughby_mask, ritz_from_factorization
+
+__all__ = ["eigsh"]
+
+
+def _select(theta, which: str, k: int):
+    theta_np = np.asarray(theta)
+    if which == "SA":  # smallest algebraic
+        order = np.argsort(theta_np)
+    elif which == "LA":  # largest algebraic
+        order = np.argsort(theta_np)[::-1]
+    elif which == "SM":  # smallest magnitude (the reference oracle's choice,
+        # Regular/Lanczos.py:70: eigsh(k=20, which="SM"))
+        order = np.argsort(np.abs(theta_np))
+    elif which == "LM":
+        order = np.argsort(np.abs(theta_np))[::-1]
+    else:
+        raise ValueError(f"unknown which={which!r}")
+    return order[:k]
+
+
+def eigsh(
+    A,
+    k: int = 6,
+    *,
+    n: Optional[int] = None,
+    which: str = "SA",
+    seed: int = 99,
+    v0=None,
+    reorth: str = "full",
+    reorth_passes: int = 2,
+    reorth_period: int = 5,
+    ghost_filter: Optional[bool] = None,
+    compute_acceptance: bool = True,
+    dtype=None,
+) -> EigResult:
+    """Find k extremal eigenpairs of a symmetric operator by Lanczos.
+
+    Parameters mirror scipy.sparse.linalg.eigsh where they overlap; ``A`` may
+    be a LinearOperator, a dense array, or a scipy sparse matrix.
+
+    ``ghost_filter`` defaults to True when reorthogonalization is not "full"
+    (without full reorth, spurious copies of converged eigenvalues appear and
+    must be filtered by the Cullum–Willoughby test).
+    """
+    op = as_operator(A)
+    m = op.shape[0]
+    if n is None:
+        n = min(m, max(2 * k + 20, 4 * k))
+    if k > n:
+        raise ValueError(f"k={k} cannot exceed Krylov depth n={n}")
+    if ghost_filter is None:
+        ghost_filter = reorth != "full"
+
+    fac = lanczos(
+        op,
+        n,
+        seed=seed,
+        v0=v0,
+        reorth=reorth,
+        reorth_passes=reorth_passes,
+        reorth_period=reorth_period,
+        dtype=dtype,
+    )
+    theta, X, resid_est = ritz_from_factorization(fac)
+
+    keep = np.ones(fac.n, dtype=bool)
+    if ghost_filter:
+        theta_np = np.asarray(theta)
+        keep = cullum_willoughby_mask(
+            np.asarray(fac.alpha), np.asarray(fac.beta), theta_np
+        )
+        # Without (full) reorthogonalization, converged Ritz values reappear
+        # as numerically identical copies.  Single-vector Lanczos cannot
+        # resolve true multiplicity anyway, so collapse each cluster to its
+        # best-residual representative.
+        resid_np = np.asarray(resid_est)
+        scale = max(float(np.max(np.abs(theta_np))), 1.0)
+        tol = 1e-8 * scale
+        rep = None  # index of current cluster's representative
+        for i in np.argsort(theta_np):
+            if not keep[i]:
+                continue
+            if rep is not None and theta_np[i] - theta_np[rep] < tol:
+                if resid_np[i] < resid_np[rep]:
+                    keep[rep] = False
+                    rep = i
+                else:
+                    keep[i] = False
+            else:
+                rep = i
+    kept_idx = np.nonzero(keep)[0]
+    sel_local = _select(np.asarray(theta)[kept_idx], which, k)
+    sel = kept_idx[sel_local]
+
+    eigenvalues = theta[sel]
+    eigenvectors = X[:, sel]
+    residuals = resid_est[sel]
+
+    if compute_acceptance:
+        inner = acceptance_inner_prod(op, eigenvectors)
+    else:
+        inner = jnp.full(len(sel), jnp.nan, dtype=eigenvalues.dtype)
+
+    return EigResult(
+        eigenvalues=eigenvalues,
+        eigenvectors=eigenvectors,
+        residuals=residuals,
+        inner_prod=inner,
+    )

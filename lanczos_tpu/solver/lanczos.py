@@ -1,0 +1,219 @@
+"""Symmetric Lanczos recurrence as a single compiled XLA program.
+
+TPU-first redesign of the reference's eager Krylov loop
+(/root/reference/Python/Regular/Lanczos.py:75-141):
+
+* The whole n-step recurrence is one ``lax.scan`` under ``jit`` — no host
+  round-trips between iterations (the reference crosses host<->GPU per step
+  via CuPy and drives the loop from Python).
+* Full reorthogonalization is expressed as two (n,M) matmuls per pass
+  (classical Gram-Schmidt against the whole stored basis), the MXU-friendly
+  form of the reference's batched reorthogonalization
+  (Regular/Lanczos.py:233-251).  CGS is run twice ("CGS2") by default, which
+  restores orthogonality to machine precision — unlike the reference's single
+  pass.
+* The basis V is stored row-major (n, M) exactly as the reference does "for
+  cache reasons" (Lanczos.py:103) — on TPU this makes both reorth matmuls and
+  the Ritz back-transform contiguous.
+* Breakdown (beta ~ 0, i.e. an exact invariant subspace) is detected and
+  recorded instead of dividing by ~0 like the reference's ``j=0 -> beta[-1]``
+  quirk (Lanczos.py:111-113, documented in SURVEY.md §"quirks").
+
+The recurrence is parameterized over ``dot``/``basis_dot`` callables so the
+distributed row-sharded solver (lanczos_tpu.parallel) can inject psum-reduced
+versions and reuse this exact kernel inside ``shard_map``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.operators import LinearOperator
+
+__all__ = ["LanczosFactorization", "lanczos", "lanczos_kernel"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LanczosFactorization:
+    """Result of an n-step Lanczos run: A V.T ≈ V.T T + r e_n.T.
+
+    alpha: (n,) diagonal of the tridiagonal T.
+    beta:  (n-1,) off-diagonal of T.
+    V:     (n, M) Krylov basis, rows are the Lanczos vectors.
+    resid: (M,) final residual vector (unnormalized candidate v_n).
+    breakdown_iter: iteration index where beta underflowed (n if none did).
+    """
+
+    alpha: jax.Array
+    beta: jax.Array
+    V: jax.Array
+    resid: jax.Array
+    breakdown_iter: jax.Array
+
+    @property
+    def n(self) -> int:
+        return self.alpha.shape[0]
+
+    @property
+    def m(self) -> int:
+        return self.V.shape[1]
+
+
+# All reductions in the recurrence run at Precision.HIGHEST: on TPU the
+# default matmul path decomposes f32 operands to bf16 (fast but ~1e-2
+# relative error), which destroys Krylov orthogonality.  HIGHEST selects the
+# multi-pass scheme with ~f32 accuracy at a small cost on these
+# bandwidth-bound matvec-like products.
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _default_dot(a, b):
+    return jnp.dot(a, b, precision=_PRECISION, preferred_element_type=a.dtype)
+
+
+def _default_basis_dot(V, v):
+    # (n, M) @ (M,) -> (n,); zero rows of V contribute zeros.
+    return jnp.dot(V, v, precision=_PRECISION)
+
+
+def _orthogonalize(V, v, basis_dot, passes: int):
+    """Orthogonalize v against all (zero-padded) rows of V, CGS x passes."""
+    for _ in range(passes):
+        coeff = basis_dot(V, v)  # (n,)
+        v = v - jnp.dot(coeff, V, precision=_PRECISION)
+    return v
+
+
+def lanczos_kernel(
+    matvec: Callable,
+    v0: jax.Array,
+    n: int,
+    *,
+    reorth: str = "full",
+    reorth_passes: int = 2,
+    reorth_period: int = 5,
+    dot: Callable = _default_dot,
+    basis_dot: Callable = _default_basis_dot,
+    breakdown_tol: Optional[float] = None,
+) -> LanczosFactorization:
+    """Run n Lanczos steps from start vector v0 (need not be normalized).
+
+    Pure function of jax arrays — safe to wrap in jit / shard_map.  ``n``,
+    ``reorth`` and the callables must be static.
+    """
+    if reorth not in ("full", "none", "periodic"):
+        raise ValueError(f"unknown reorth strategy: {reorth!r}")
+    m = v0.shape[0]
+    dtype = v0.dtype
+    if breakdown_tol is None:
+        breakdown_tol = float(10 * np.finfo(np.dtype(dtype)).eps)
+
+    def norm(x):
+        return jnp.sqrt(dot(x, x))
+
+    v0 = v0 / norm(v0)
+    V = jnp.zeros((n, m), dtype=dtype).at[0].set(v0)
+    w = matvec(v0)
+    alpha0 = dot(v0, w)
+    r = w - alpha0 * v0
+
+    def reorth_step(V, v):
+        v = _orthogonalize(V, v, basis_dot, reorth_passes)
+        nrm = norm(v)
+        v = v * jnp.where(nrm > 0, 1.0 / nrm, 0.0)
+        return v
+
+    def step(carry, j):
+        V, r, breakdown_iter = carry
+        beta = norm(r)
+        # Scale-aware breakdown test: beta relative to typical basis scale (=1).
+        ok = beta > breakdown_tol
+        breakdown_iter = jnp.where(
+            ok, breakdown_iter, jnp.minimum(breakdown_iter, j)
+        )
+        v = r * jnp.where(ok, 1.0 / jnp.where(ok, beta, 1.0), 0.0)
+
+        if reorth == "full":
+            v = reorth_step(V, v)
+        elif reorth == "periodic":
+            v = jax.lax.cond(
+                (j % reorth_period) == 0,
+                lambda args: reorth_step(*args),
+                lambda args: args[1],
+                (V, v),
+            )
+
+        V = jax.lax.dynamic_update_slice_in_dim(V, v[None, :], j, axis=0)
+        v_prev = jax.lax.dynamic_index_in_dim(V, j - 1, axis=0, keepdims=False)
+        w = matvec(v)
+        alpha = dot(v, w)
+        r = w - alpha * v - beta * v_prev
+        return (V, r, breakdown_iter), (alpha, beta)
+
+    init = (V, r, jnp.asarray(n, dtype=jnp.int32))
+    (V, r, breakdown_iter), (alphas, betas) = jax.lax.scan(
+        step, init, jnp.arange(1, n, dtype=jnp.int32)
+    )
+
+    alpha = jnp.concatenate([alpha0[None], alphas])
+    return LanczosFactorization(
+        alpha=alpha, beta=betas, V=V, resid=r, breakdown_iter=breakdown_iter
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n", "reorth", "reorth_passes", "reorth_period", "dtype"),
+)
+def _lanczos_jit(op, n, seed, v0, reorth, reorth_passes, reorth_period, dtype):
+    m = op.shape[0]
+    if v0 is None:
+        # Uniform(-1, 1) start vector, mirroring the reference's choice
+        # (Regular/Lanczos.py:97) but with a JAX PRNG key instead of global state.
+        v0 = jax.random.uniform(
+            jax.random.PRNGKey(seed), (m,), dtype=dtype, minval=-1.0, maxval=1.0
+        )
+    else:
+        v0 = v0.astype(dtype)
+    return lanczos_kernel(
+        op.matvec,
+        v0,
+        n,
+        reorth=reorth,
+        reorth_passes=reorth_passes,
+        reorth_period=reorth_period,
+    )
+
+
+def lanczos(
+    op: LinearOperator,
+    n: int,
+    *,
+    seed: int = 99,
+    v0: Optional[jax.Array] = None,
+    reorth: str = "full",
+    reorth_passes: int = 2,
+    reorth_period: int = 5,
+    dtype=None,
+) -> LanczosFactorization:
+    """High-level single-device entry point.
+
+    Mirrors the contract of the reference's ``Lanczos.execute_Lanczos``
+    (Regular/Lanczos.py:75: n, seed, v0) minus ``use_cuda`` — device placement
+    is JAX's job, the same code runs on CPU and TPU.
+    """
+    m = op.shape[0]
+    if n > m:
+        raise ValueError(f"n={n} cannot exceed operator dimension M={m}")
+    if dtype is None:
+        dtype = op.dtype
+    return _lanczos_jit(
+        op, n, seed, v0, reorth, reorth_passes, reorth_period, jnp.dtype(dtype)
+    )

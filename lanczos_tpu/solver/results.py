@@ -1,0 +1,116 @@
+"""Eigensolve results: acceptance criteria, validation, pretty-printing.
+
+Re-creates the reference's validation toolkit as a proper API instead of
+inline prints/asserts:
+
+* residual acceptance  <(Hx/||Hx||), x>^2 within tol of 1
+  (Regular/Lanczos.py:166-185 ``print_good_eigs``)
+* basis quality checks: normality within 1e-3, orthogonality within 1e-2
+  (Lanczos.py:157-158, 288-323)
+* greedy eigvec matching against an oracle (Lanczos.py:189-229
+  ``compare_eigs``) — used by the test-suite with scipy eigsh as oracle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["EigResult", "match_eigs", "check_normalized", "check_orthogonal"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EigResult:
+    """k (or n) approximate eigenpairs of a symmetric operator.
+
+    eigenvalues:  (k,) ascending Ritz values.
+    eigenvectors: (M, k) columns.
+    residuals:    (k,) residual-norm estimates ||A x - theta x||.
+    inner_prod:   (k,) the reference's acceptance statistic
+                  <(Ax/||Ax||), x>^2 (1.0 = perfect eigenpair), or NaN if not
+                  computed.
+    """
+
+    eigenvalues: jax.Array
+    eigenvectors: jax.Array
+    residuals: jax.Array
+    inner_prod: jax.Array
+
+    @property
+    def k(self) -> int:
+        return self.eigenvalues.shape[0]
+
+    def good_mask(self, tol: float = 0.01) -> np.ndarray:
+        """Reference acceptance: |1 - <Ax/||Ax||, x>^2| < tol (Lanczos.py:180)."""
+        return np.abs(1.0 - np.asarray(self.inner_prod)) < tol
+
+    def summary(self, print_nr: int = 20, tol: float = 0.01) -> str:
+        """Tabular report in the spirit of the reference's print_good_eigs."""
+        lines = ["__________EIGENVALUE AND EIGENVECTOR SUMMARY__________"]
+        lines.append(f"{'Eigval':>14} {'Residual':>12} {'InnerProd':>18}  status")
+        vals = np.asarray(self.eigenvalues)
+        res = np.asarray(self.residuals)
+        ip = np.asarray(self.inner_prod)
+        good = self.good_mask(tol)
+        for i in range(min(print_nr, len(vals))):
+            status = "ok" if good[i] else "BAD"
+            lines.append(
+                f"{vals[i]:14.6f} {res[i]:12.3e} {ip[i]:18.14f}  {status}"
+            )
+        return "\n".join(lines)
+
+
+@jax.jit
+def acceptance_inner_prod(op, X: jax.Array) -> jax.Array:
+    """<(Ax/||Ax||), x>^2 per column of X — the reference's eigvec check."""
+
+    def one(x):
+        ax = op.matvec(x)
+        ax = ax / jnp.linalg.norm(ax)
+        return jnp.dot(ax, x, precision=jax.lax.Precision.HIGHEST) ** 2
+
+    return jax.vmap(one, in_axes=1)(X)
+
+
+def check_normalized(X, tol: float = 1e-3) -> float:
+    """Max |  ||x_i|| - 1 | over columns (reference test_is_normalized)."""
+    norms = np.linalg.norm(np.asarray(X), axis=0)
+    return float(np.max(np.abs(norms - 1.0)))
+
+
+def check_orthogonal(X, tol: float = 1e-2) -> float:
+    """Max off-diagonal |x_i . x_j| over columns (reference test_is_orthogonal)."""
+    X = np.asarray(X)
+    g = X.T @ X
+    np.fill_diagonal(g, 0.0)
+    return float(np.max(np.abs(g)))
+
+
+def match_eigs(est_vals, est_vecs, ref_vals, ref_vecs):
+    """Greedily match estimated eigenpairs to reference pairs by max squared
+    inner product of eigenvectors — semantics of the reference's compare_eigs
+    (Regular/Lanczos.py:189-229).
+
+    Returns (matched_ref_vals, matched_est_vals, innerprods) over the
+    reference set; unmatched entries are NaN.
+    """
+    est_vals = np.asarray(est_vals)
+    est_vecs = np.asarray(est_vecs)
+    ref_vals = np.asarray(ref_vals)
+    ref_vecs = np.asarray(ref_vecs)
+
+    nref = len(ref_vals)
+    matched = np.full(nref, np.nan)
+    innerprod = np.full(nref, np.nan)
+    overlap = (est_vecs.T @ ref_vecs) ** 2  # (n_est, n_ref)
+    for i in range(len(est_vals)):
+        idx = int(np.argmax(overlap[i]))
+        if np.isnan(innerprod[idx]) or overlap[i, idx] > innerprod[idx]:
+            matched[idx] = est_vals[i]
+            innerprod[idx] = overlap[i, idx]
+    return ref_vals, matched, innerprod
