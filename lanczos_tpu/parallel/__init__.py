@@ -1,0 +1,2 @@
+from .mesh import ROWS, make_row_mesh
+from .distributed import lanczos_sharded, shard_operator

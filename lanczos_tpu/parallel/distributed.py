@@ -1,0 +1,228 @@
+"""Row-sharded Lanczos: shard_map recurrence with halo-exchange SpMV.
+
+This layer has no counterpart in the reference (single-device, SURVEY.md
+§2.2); it is the "context-parallel" analogue for Krylov methods: the long axis
+being scaled is M, the operator dimension — rows of H and of the Krylov basis
+V are partitioned across devices (SURVEY.md §5.7).
+
+Design:
+* The entire n-step recurrence runs inside ONE ``shard_map``-wrapped jitted
+  program; per-iteration reductions (dots, norms, Gram-Schmidt coefficients)
+  are local partial sums fused with ``lax.psum`` over the mesh axis — the
+  allreduce rides the ICI, no host involvement.
+* StencilOperator SpMV: the grid's slowest axis is sharded; each step
+  exchanges only the h boundary planes with ring neighbors via
+  ``lax.ppermute`` (h = stencil depth, 1 for the 7/27-point stencils) and
+  applies the stencil on the halo-padded local block.  Boundary traffic per
+  step is 2*h*N^2 elements — the 7-14% edge fraction the reference's writeup
+  quantifies (notes.tex:332) is what rides the interconnect here.
+* EllOperator SpMV (irregular graphs): v1 gathers the full vector with
+  ``lax.all_gather`` (tiled) then does the local ELL gather; a
+  halo-compressed exchange for lattice-local sparsity patterns is the
+  planned optimization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.operators import EllOperator, LinearOperator, StencilOperator
+from ..solver.lanczos import LanczosFactorization, lanczos_kernel
+from .mesh import ROWS
+
+__all__ = ["lanczos_sharded", "shard_operator"]
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _stencil_local_matvec(op: StencilOperator, num_devices: int, axis_name: str):
+    """Local SpMV for a z-sharded StencilOperator with ring halo exchange."""
+    grid_shape = op.grid_shape
+    nz = grid_shape[0]
+    assert nz % num_devices == 0, (
+        f"leading grid dim {nz} must divide across {num_devices} devices"
+    )
+    nz_loc = nz // num_devices
+    rest = grid_shape[1:]
+    halo = max(abs(off[0]) for off in op.offsets)
+    assert halo <= nz_loc, "stencil depth exceeds local slab thickness"
+    fwd = [(i, (i + 1) % num_devices) for i in range(num_devices)]
+    bwd = [(i, (i - 1) % num_devices) for i in range(num_devices)]
+    rest_axes = tuple(range(1, len(grid_shape)))
+
+    def local_matvec(weights, diag_local, x_local):
+        xg = x_local.reshape((nz_loc,) + rest)
+        if halo > 0:
+            top = xg[:halo]
+            bot = xg[nz_loc - halo :]
+            # Periodic ring: my top halo is the previous device's bottom
+            # planes, my bottom halo the next device's top planes.  The two
+            # ppermutes are independent and overlap with nothing here by
+            # construction; XLA schedules them concurrently with the local
+            # interior computation when profitable.
+            from_prev = jax.lax.ppermute(bot, axis_name, fwd)
+            from_next = jax.lax.ppermute(top, axis_name, bwd)
+            xpad = jnp.concatenate([from_prev, xg, from_next], axis=0)
+        else:
+            xpad = xg
+        y = jnp.zeros_like(xg)
+        for k, off in enumerate(op.offsets):
+            oz = off[0]
+            block = jax.lax.slice_in_dim(
+                xpad, halo + oz, halo + oz + nz_loc, axis=0
+            )
+            tail = tuple(-o for o in off[1:])
+            if any(tail):
+                block = jnp.roll(block, shift=tail, axis=rest_axes)
+            y = y + weights[k] * block
+        y = y.reshape(-1)
+        if diag_local is not None:
+            y = y + diag_local * x_local
+        return y
+
+    return local_matvec
+
+
+def _ell_local_matvec(axis_name: str):
+    """Local SpMV for a row-sharded EllOperator via tiled all-gather of x."""
+
+    def local_matvec(cols_local, vals_local, x_local):
+        x_full = jax.lax.all_gather(x_local, axis_name, tiled=True)
+        return jnp.sum(vals_local * x_full[cols_local], axis=1)
+
+    return local_matvec
+
+
+def shard_operator(op: LinearOperator, mesh: jax.sharding.Mesh, axis_name: str = ROWS):
+    """device_put the operator's arrays with their row-sharded layout.
+
+    Keeps HBM usage per chip at 1/P of the operator: ELL rows and the
+    diagonal are sharded; stencil weights are replicated.
+    """
+    if isinstance(op, EllOperator):
+        s_row = NamedSharding(mesh, P(axis_name, None))
+        return EllOperator(
+            cols=jax.device_put(op.cols, s_row),
+            vals=jax.device_put(op.vals, s_row),
+        )
+    if isinstance(op, StencilOperator):
+        diag = op.diag
+        if diag is not None:
+            diag = jax.device_put(diag, NamedSharding(mesh, P(axis_name)))
+        weights = jax.device_put(op.weights, NamedSharding(mesh, P()))
+        return StencilOperator(
+            weights=weights,
+            diag=diag,
+            grid_shape=op.grid_shape,
+            offsets=op.offsets,
+        )
+    raise TypeError(f"cannot shard operator of type {type(op).__name__}")
+
+
+def lanczos_sharded(
+    op: LinearOperator,
+    n: int,
+    mesh: jax.sharding.Mesh,
+    *,
+    axis_name: str = ROWS,
+    seed: int = 99,
+    v0: Optional[jax.Array] = None,
+    reorth: str = "full",
+    reorth_passes: int = 2,
+    reorth_period: int = 5,
+    dtype=None,
+) -> LanczosFactorization:
+    """Row-sharded n-step Lanczos over a device mesh.
+
+    Returns a LanczosFactorization whose V (n, M) and resid (M,) are sharded
+    over the mesh's ``axis_name`` dimension; alpha/beta are replicated.
+    """
+    m = op.shape[0]
+    num_devices = mesh.shape[axis_name]
+    if m % num_devices != 0:
+        raise ValueError(
+            f"operator dimension {m} must divide across {num_devices} devices"
+            " (pad the assembly)"
+        )
+    if dtype is None:
+        dtype = op.dtype
+    dtype = jnp.dtype(dtype)
+
+    if v0 is None:
+        v0 = jax.random.uniform(
+            jax.random.PRNGKey(seed), (m,), dtype=dtype, minval=-1.0, maxval=1.0
+        )
+    else:
+        v0 = jnp.asarray(v0, dtype=dtype)
+
+    def dot(a, b):
+        return jax.lax.psum(
+            jnp.dot(a, b, precision=_PRECISION, preferred_element_type=a.dtype),
+            axis_name,
+        )
+
+    def basis_dot(V, v):
+        return jax.lax.psum(jnp.dot(V, v, precision=_PRECISION), axis_name)
+
+    fac_specs = LanczosFactorization(
+        alpha=P(),
+        beta=P(),
+        V=P(None, axis_name),
+        resid=P(axis_name),
+        breakdown_iter=P(),
+    )
+
+    if isinstance(op, StencilOperator):
+        local_mv = _stencil_local_matvec(op, num_devices, axis_name)
+
+        def body(weights, diag, v0_local):
+            return lanczos_kernel(
+                partial(local_mv, weights, diag),
+                v0_local,
+                n,
+                reorth=reorth,
+                reorth_passes=reorth_passes,
+                reorth_period=reorth_period,
+                dot=dot,
+                basis_dot=basis_dot,
+            )
+
+        in_specs = (P(), P(axis_name) if op.diag is not None else P(), P(axis_name))
+        mapped = jax.shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=fac_specs,
+            check_vma=False,
+        )
+        return jax.jit(mapped)(op.weights, op.diag, v0)
+
+    if isinstance(op, EllOperator):
+        local_mv = _ell_local_matvec(axis_name)
+
+        def body(cols, vals, v0_local):
+            return lanczos_kernel(
+                partial(local_mv, cols, vals),
+                v0_local,
+                n,
+                reorth=reorth,
+                reorth_passes=reorth_passes,
+                reorth_period=reorth_period,
+                dot=dot,
+                basis_dot=basis_dot,
+            )
+
+        in_specs = (P(axis_name, None), P(axis_name, None), P(axis_name))
+        mapped = jax.shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=fac_specs,
+            check_vma=False,
+        )
+        return jax.jit(mapped)(op.cols, op.vals, v0)
+
+    raise TypeError(
+        f"sharded Lanczos supports Stencil/Ell operators, got {type(op).__name__}"
+    )

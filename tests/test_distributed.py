@@ -1,0 +1,85 @@
+"""Distributed (row-sharded) Lanczos on the 8-device virtual CPU mesh.
+
+Oracle: the single-device solver — the multi-chip path must reproduce its
+factorization and spectra (this is the multi-chip test mechanism the
+reference lacks entirely; SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lanczos_tpu import build_regular_hamiltonian, deuteron_potential_3d, lanczos
+from lanczos_tpu.ops import ell_from_scipy
+from lanczos_tpu.parallel import lanczos_sharded, make_row_mesh, shard_operator
+from lanczos_tpu.solver.tridiag import ritz_from_factorization
+
+from conftest import random_sparse_symmetric
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8
+    return make_row_mesh(8)
+
+
+def test_sharded_stencil_matches_single_device(mesh):
+    """3D deuteron Hamiltonian: sharded (halo-exchange) == single-device."""
+    n_grid = 16  # 16^3 = 4096 points, leading dim 16 divides 8 devices
+    H = build_regular_hamiltonian(
+        n_grid, 25.0, deuteron_potential_3d, stencil="27", dtype="float64"
+    )
+    n = 40
+    fac_ref = lanczos(H, n, seed=3, dtype="float64")
+    Hs = shard_operator(H, mesh)
+    fac_dist = lanczos_sharded(Hs, n, mesh, seed=3, dtype="float64")
+
+    np.testing.assert_allclose(
+        np.asarray(fac_dist.alpha), np.asarray(fac_ref.alpha), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(fac_dist.beta), np.asarray(fac_ref.beta), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(fac_dist.V), np.asarray(fac_ref.V), rtol=1e-8, atol=1e-9
+    )
+
+
+def test_sharded_ell_matches_single_device(mesh, rng):
+    """Row-sharded ELL (all-gather SpMV) == single-device, random sparse."""
+    m = 400  # divides 8
+    a = random_sparse_symmetric(rng, m)
+    op = ell_from_scipy(a, dtype=np.float64)
+    n = 50
+    fac_ref = lanczos(op, n, seed=11, dtype="float64")
+    op_s = shard_operator(op, mesh)
+    fac_dist = lanczos_sharded(op_s, n, mesh, seed=11, dtype="float64")
+
+    np.testing.assert_allclose(
+        np.asarray(fac_dist.alpha), np.asarray(fac_ref.alpha), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(fac_dist.beta), np.asarray(fac_ref.beta), rtol=1e-9, atol=1e-9
+    )
+
+
+def test_sharded_spectra_vs_scipy(mesh, rng):
+    """End-to-end: sharded factorization -> Ritz values vs scipy oracle."""
+    import scipy.sparse.linalg
+
+    m = 320
+    a = random_sparse_symmetric(rng, m)
+    op = shard_operator(ell_from_scipy(a, dtype=np.float64), mesh)
+    fac = lanczos_sharded(op, 120, mesh, dtype="float64")
+    theta, X, resid = ritz_from_factorization(fac)
+    exact = np.sort(scipy.sparse.linalg.eigsh(a, k=4, which="SA")[0])
+    np.testing.assert_allclose(np.asarray(theta)[:4], exact, rtol=1e-8, atol=1e-8)
+
+
+def test_sharded_rejects_indivisible(mesh):
+    from lanczos_tpu.ops import ell_from_coo
+
+    op = ell_from_coo([0, 1, 2], [0, 1, 2], [1.0, 2.0, 3.0], 3, dtype=np.float64)
+    with pytest.raises(ValueError, match="divide"):
+        lanczos_sharded(op, 2, mesh)
