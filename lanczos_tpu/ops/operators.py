@@ -224,6 +224,14 @@ class StencilOperator(LinearOperator):
     offsets: Tuple[Tuple[int, ...], ...] = dataclasses.field(
         metadata=dict(static=True)
     )
+    # For full {-1,0,1}^3 stencils whose weight depends only on the number of
+    # nonzero offset components ("graded" stencils — the 27-point Laplacian
+    # is one), the SpMV factorizes into 4 per-axis ring-circulant matmuls on
+    # the MXU instead of 27 HBM-bound rolls; ``graded`` holds the static
+    # weight ladder (w0, w1, w2, w3) when detected (see make_stencil_operator).
+    graded: Optional[Tuple[float, float, float, float]] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def shape(self):
@@ -235,6 +243,8 @@ class StencilOperator(LinearOperator):
         return self.weights.dtype
 
     def _apply_stencil(self, xg: jax.Array) -> jax.Array:
+        if self.graded is not None:
+            return self._apply_stencil_graded(xg)
         axes = tuple(range(len(self.grid_shape)))
         y = jnp.zeros_like(xg)
         for k, off in enumerate(self.offsets):
@@ -242,6 +252,41 @@ class StencilOperator(LinearOperator):
             shifted = jnp.roll(xg, shift=tuple(-o for o in off), axis=axes)
             y = y + self.weights[k] * shifted
         return y
+
+    def _apply_stencil_graded(self, xg: jax.Array) -> jax.Array:
+        """MXU path for graded {-1,0,1}^3 stencils (e.g. the 27-pt Laplacian).
+
+        With S_a = shift_+1 + shift_-1 along axis a (a ring circulant), a
+        graded stencil is
+            y = w0 x + w1 (Sx+Sy+Sz) x + w2 (SxSy+SySz+SzSx) x + w3 SxSySz x.
+        Nesting by axis needs only 4 circulant matmuls:
+            c1 = Sz x;   g01 = Sy x;   g11 = Sy c1
+            A  = w0 x + w1 (g01 + c1) + w2 g11
+            B  = w1 x + w2 (g01 + c1) + w3 g11
+            y  = A + Sx B
+        Each matmul is (N,N) x (N, N^2) — dense MXU work instead of 27
+        gather/rolls, cutting HBM traffic ~7x and riding the systolic array.
+        """
+        w0, w1, w2, w3 = self.graded
+        nz, ny, nx = self.grid_shape
+        dt = xg.dtype
+        prec = jax.lax.Precision.HIGHEST
+
+        def ring(n):
+            i = jnp.arange(n)
+            m = jnp.zeros((n, n), dtype=dt)
+            m = m.at[i, (i + 1) % n].add(1.0)
+            m = m.at[i, (i - 1) % n].add(1.0)
+            return m
+
+        sz, sy, sx = ring(nz), ring(ny), ring(nx)
+        c1 = jnp.einsum("Zz,zyx->Zyx", sz, xg, precision=prec)
+        g01 = jnp.einsum("Yy,zyx->zYx", sy, xg, precision=prec)
+        g11 = jnp.einsum("Yy,zyx->zYx", sy, c1, precision=prec)
+        mid = g01 + c1
+        a = w0 * xg + w1 * mid + w2 * g11
+        b = w1 * xg + w2 * mid + w3 * g11
+        return a + jnp.einsum("Xx,zyx->zyX", sx, b, precision=prec)
 
     def matvec(self, x):
         xg = x.reshape(self.grid_shape)
@@ -252,7 +297,10 @@ class StencilOperator(LinearOperator):
 
     def rmatvec(self, x):
         # Transpose of a constant-coefficient periodic stencil is the stencil
-        # with negated offsets; the diagonal is symmetric.
+        # with negated offsets; the diagonal is symmetric.  Graded stencils
+        # are mirror-symmetric, so their transpose equals themselves.
+        if self.graded is not None:
+            return self.matvec(x)
         xg = x.reshape(self.grid_shape)
         axes = tuple(range(len(self.grid_shape)))
         y = jnp.zeros_like(xg)
@@ -284,6 +332,25 @@ class StencilOperator(LinearOperator):
         return stencil_to_ell(self)
 
 
+def _detect_graded(grid_shape, offsets, weights_np):
+    """Return (w0, w1, w2, w3) if this is a full {-1,0,1}^3 stencil whose
+    weight depends only on the count of nonzero offset components."""
+    if len(grid_shape) != 3 or len(offsets) != 27:
+        return None
+    import itertools
+
+    if set(offsets) != set(itertools.product((-1, 0, 1), repeat=3)):
+        return None
+    ladder = [None] * 4
+    for off, w in zip(offsets, weights_np):
+        nz = sum(o != 0 for o in off)
+        if ladder[nz] is None:
+            ladder[nz] = float(w)
+        elif abs(ladder[nz] - float(w)) > 1e-14 * max(abs(float(w)), 1.0):
+            return None
+    return tuple(ladder)
+
+
 def make_stencil_operator(
     grid_shape: Sequence[int],
     offsets,
@@ -293,6 +360,7 @@ def make_stencil_operator(
 ) -> StencilOperator:
     """Convenience constructor validating shapes and normalizing offsets."""
     offsets = _normalize_offsets(offsets)
+    weights_np = np.asarray(weights, dtype=np.float64)
     weights = jnp.asarray(weights, dtype=dtype)
     if diag is not None:
         diag = jnp.asarray(diag, dtype=dtype).reshape(-1)
@@ -303,6 +371,7 @@ def make_stencil_operator(
         diag=diag,
         grid_shape=tuple(int(n) for n in grid_shape),
         offsets=offsets,
+        graded=_detect_graded(grid_shape, offsets, weights_np),
     )
 
 
