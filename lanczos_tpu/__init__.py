@@ -30,6 +30,14 @@ from .models.grids import (
     build_regular_hamiltonian,
     laplacian_stencil,
 )
+from .models.lattice import (
+    IrregularLattice,
+    build_lattice,
+    potential_spacings,
+)
+from .models.irrlap import laplacian_weights
+from .models.irr_hamiltonian import assemble_irregular_hamiltonian
+from .solver.two_sided import two_sided_eigs, two_sided_lanczos
 from .models.potentials import (
     DEUTERON_REDUCED_REST_ENERGY_MEV,
     HBAR_C_MEV_FM,

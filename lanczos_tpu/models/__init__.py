@@ -11,3 +11,6 @@ from .potentials import (
     kinetic_prefactor,
     square_well_1d,
 )
+from .lattice import IrregularLattice, build_lattice, find_neighbors, potential_spacings
+from .irrlap import laplacian_weights, laplacian_weights_batch
+from .irr_hamiltonian import assemble_irregular_hamiltonian, irregular_laplacian_rows

@@ -7,3 +7,9 @@ from .tridiag import (
     tridiag_eigh,
     tridiag_to_dense,
 )
+from .two_sided import (
+    TwoSidedFactorization,
+    nonsymmetric_tridiag_eig,
+    two_sided_eigs,
+    two_sided_lanczos,
+)

@@ -40,7 +40,12 @@ import numpy as np
 
 from ..ops.operators import LinearOperator
 
-__all__ = ["TwoSidedFactorization", "two_sided_lanczos", "nonsymmetric_tridiag_eig"]
+__all__ = [
+    "TwoSidedFactorization",
+    "two_sided_lanczos",
+    "two_sided_eigs",
+    "nonsymmetric_tridiag_eig",
+]
 
 
 @jax.tree_util.register_dataclass
@@ -194,6 +199,27 @@ def two_sided_lanczos(
     if dtype is None:
         dtype = op.dtype
     return _two_sided_jit(op, op_transpose, n, seed, reorth, jnp.dtype(dtype))
+
+
+def two_sided_eigs(fac: TwoSidedFactorization, k: Optional[int] = None):
+    """Ritz values/right-vectors from a two-sided factorization.
+
+    Truncates the projected tridiagonal at the serious-breakdown iteration
+    (w_j ~ 0): iterations past breakdown carry no information (the look-ahead
+    cure of papers/50-FreGutNac93-SISC14.pdf is future work; the reference
+    iterates straight through breakdown, IrrLanczos.py:140-142).
+
+    Returns (vals (j,), X (M, j)) sorted by ascending real part.
+    """
+    j = min(int(fac.breakdown_iter), fac.n)
+    alpha = np.asarray(fac.alpha)[:j]
+    beta = np.asarray(fac.beta)[: j - 1]
+    gamma = np.asarray(fac.gamma)[: j - 1]
+    vals, w = nonsymmetric_tridiag_eig(alpha, beta, gamma)
+    x = np.asarray(fac.Q)[:j].T @ w  # right Ritz vectors
+    if k is not None:
+        vals, x = vals[:k], x[:, :k]
+    return vals, x
 
 
 def nonsymmetric_tridiag_eig(
