@@ -13,3 +13,4 @@ from .two_sided import (
     two_sided_eigs,
     two_sided_lanczos,
 )
+from .block import BlockLanczosFactorization, block_lanczos, block_ritz

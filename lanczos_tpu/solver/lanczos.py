@@ -108,6 +108,16 @@ def lanczos_kernel(
     Pure function of jax arrays — safe to wrap in jit / shard_map.  ``n``,
     ``reorth`` and the callables must be static.
     """
+    if reorth == "selective":
+        return _lanczos_selective_kernel(
+            matvec,
+            v0,
+            n,
+            reorth_passes=reorth_passes,
+            dot=dot,
+            basis_dot=basis_dot,
+            breakdown_tol=breakdown_tol,
+        )
     if reorth not in ("full", "none", "periodic"):
         raise ValueError(f"unknown reorth strategy: {reorth!r}")
     m = v0.shape[0]
@@ -162,6 +172,115 @@ def lanczos_kernel(
         step, init, jnp.arange(1, n, dtype=jnp.int32)
     )
 
+    alpha = jnp.concatenate([alpha0[None], alphas])
+    return LanczosFactorization(
+        alpha=alpha, beta=betas, V=V, resid=r, breakdown_iter=breakdown_iter
+    )
+
+
+def _lanczos_selective_kernel(
+    matvec,
+    v0,
+    n,
+    *,
+    reorth_passes,
+    dot,
+    basis_dot,
+    breakdown_tol,
+):
+    """Selective reorthogonalization via the omega recurrence (Simon 1984).
+
+    Tracks running estimates omega[j, i] ~ |v_j . v_i| of orthogonality loss
+    using only the alpha/beta history (O(n) work per step), and triggers a
+    FULL reorthogonalization pass (lax.cond — the O(nM) matmuls execute only
+    on triggering steps) whenever max_i omega exceeds sqrt(machine eps).
+    After a trigger, omega resets to the machine-eps floor.
+
+    This is the strategy SURVEY.md §7.5 calls for; the reference only has
+    always-on full reorthogonalization (Regular/Lanczos.py:115).  Cost on
+    well-behaved spectra: O(sqrt(n)) reorth passes instead of n.
+    """
+    m = v0.shape[0]
+    dtype = v0.dtype
+    eps = float(np.finfo(np.dtype(dtype)).eps)
+    threshold = np.sqrt(eps)
+    if breakdown_tol is None:
+        breakdown_tol = 10 * eps
+
+    def norm(x):
+        return jnp.sqrt(dot(x, x))
+
+    v0 = v0 / norm(v0)
+    V = jnp.zeros((n, m), dtype=dtype).at[0].set(v0)
+    w = matvec(v0)
+    alpha0 = dot(v0, w)
+    r = w - alpha0 * v0
+
+    alpha_h = jnp.zeros(n, dtype=dtype).at[0].set(alpha0)
+    beta_h = jnp.zeros(n, dtype=dtype)  # beta_h[j] = beta_{j} (norm before v_j)
+    # omega_prev = estimates for v_{j-1}, omega_curr for v_j (index i over n).
+    omega_prev = jnp.zeros(n, dtype=dtype)
+    omega_curr = jnp.zeros(n, dtype=dtype).at[0].set(1.0)
+
+    def reorth_pass(V, v):
+        v = _orthogonalize(V, v, basis_dot, reorth_passes)
+        nrm = norm(v)
+        return v * jnp.where(nrm > 0, 1.0 / nrm, 0.0)
+
+    def step(carry, j):
+        V, r, alpha_h, beta_h, omega_prev, omega_curr, breakdown_iter = carry
+        beta = norm(r)
+        ok = beta > breakdown_tol
+        breakdown_iter = jnp.where(ok, breakdown_iter, jnp.minimum(breakdown_iter, j))
+        v = r * jnp.where(ok, 1.0 / jnp.where(ok, beta, 1.0), 0.0)
+
+        # omega update for the new vector v_j (Simon's recurrence):
+        #   beta_j w_{j,i} = beta_{i} w_{j-1,i+1} + (alpha_i - alpha_{j-1})
+        #       w_{j-1,i} + beta_{i-1} w_{j-1,i-1} - beta_{j-1} w_{j-2,i}
+        idx = jnp.arange(n)
+        alpha_jm1 = alpha_h[j - 1]
+        beta_jm1 = beta_h[j - 1]
+        w_ip1 = jnp.roll(omega_curr, -1)
+        w_im1 = jnp.roll(omega_curr, 1)
+        beta_im1 = jnp.roll(beta_h, 1)
+        raw = (
+            beta_h * w_ip1
+            + (alpha_h - alpha_jm1) * omega_curr
+            + beta_im1 * w_im1
+            - beta_jm1 * omega_prev
+        ) / jnp.where(ok, beta, 1.0)
+        noise = eps * 2.0
+        w_new = jnp.abs(raw) + noise
+        w_new = jnp.where(idx < j, w_new, 0.0).at[j].set(1.0)
+        w_new = w_new.at[j - 1].set(eps)
+
+        drift = jnp.max(jnp.where(idx < j - 1, w_new, 0.0))
+        trigger = drift > threshold
+
+        v = jax.lax.cond(
+            trigger, lambda args: reorth_pass(*args), lambda args: args[1], (V, v)
+        )
+        w_new = jnp.where(trigger, jnp.where(idx < j, noise, w_new), w_new)
+        omega_curr2 = jnp.where(trigger, jnp.where(idx < j, noise, omega_curr), omega_curr)
+
+        V = jax.lax.dynamic_update_slice_in_dim(V, v[None, :], j, axis=0)
+        v_prev = jax.lax.dynamic_index_in_dim(V, j - 1, axis=0, keepdims=False)
+        wv = matvec(v)
+        alpha = dot(v, wv)
+        r = wv - alpha * v - beta * v_prev
+
+        alpha_h = alpha_h.at[j].set(alpha)
+        beta_h = beta_h.at[j].set(beta)
+        carry = (V, r, alpha_h, beta_h, omega_curr2, w_new, breakdown_iter)
+        return carry, (alpha, beta, trigger)
+
+    init = (
+        V, r, alpha_h, beta_h, omega_prev, omega_curr,
+        jnp.asarray(n, dtype=jnp.int32),
+    )
+    (V, r, alpha_h, beta_h, _, _, breakdown_iter), (alphas, betas, triggers) = (
+        jax.lax.scan(step, init, jnp.arange(1, n, dtype=jnp.int32))
+    )
     alpha = jnp.concatenate([alpha0[None], alphas])
     return LanczosFactorization(
         alpha=alpha, beta=betas, V=V, resid=r, breakdown_iter=breakdown_iter

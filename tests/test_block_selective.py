@@ -1,0 +1,88 @@
+"""Block Lanczos (SpMM path) and selective reorthogonalization."""
+
+import numpy as np
+import scipy.sparse
+import scipy.sparse.linalg
+
+import jax.numpy as jnp
+
+from lanczos_tpu import eigsh, ell_from_scipy, lanczos
+from lanczos_tpu.ops import ell_from_coo
+from lanczos_tpu.solver.block import block_lanczos, block_ritz
+from lanczos_tpu.solver.results import check_orthogonal
+
+from conftest import random_sparse_symmetric
+
+
+def _matrix_with_degenerate_cluster(rng, m, mult=3):
+    """Symmetric matrix whose lowest eigenvalue has multiplicity `mult`."""
+    q, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    vals = np.concatenate([np.full(mult, -5.0), np.linspace(-1, 4, m - mult)])
+    return (q * vals) @ q.T, np.sort(vals)
+
+
+def test_block_lanczos_resolves_multiplicity(rng):
+    """Block size >= multiplicity resolves a degenerate cluster that
+    single-vector Lanczos cannot (it finds one copy per distinct value)."""
+    m, mult = 120, 3
+    a, exact = _matrix_with_degenerate_cluster(rng, m, mult)
+    from lanczos_tpu.ops.operators import DenseOperator
+
+    op = DenseOperator(jnp.asarray(a))
+    fac = block_lanczos(op, num_blocks=15, block_size=4, dtype=np.float64)
+    theta, x, resid = block_ritz(fac)
+    theta = np.asarray(theta)
+    # all three copies of -5 recovered
+    np.testing.assert_allclose(np.sort(theta)[:mult], exact[:mult], atol=1e-8)
+    # residual estimates honest for converged pairs
+    sel = np.argsort(theta)[:mult]
+    for i in sel:
+        xi = np.asarray(x[:, i])
+        explicit = np.linalg.norm(a @ xi - theta[i] * xi)
+        assert explicit < 1e-7
+
+    # (In exact arithmetic single-vector Lanczos would find only one copy;
+    # in floating point rounding re-seeds the degenerate directions, so no
+    # assertion on the single-vector path here — the block path's value is
+    # resolving the cluster in a FIXED small subspace, deterministically.)
+
+
+def test_block_basis_orthonormal(rng):
+    m = 200
+    a = random_sparse_symmetric(rng, m)
+    op = ell_from_scipy(a, dtype=np.float64)
+    fac = block_lanczos(op, num_blocks=10, block_size=4, dtype=np.float64)
+    basis = np.asarray(fac.Q).reshape(-1, m).T  # (M, nb*b) columns
+    assert check_orthogonal(basis) < 1e-10
+
+
+def test_selective_reorth_matches_full(rng):
+    """Selective reorth reproduces the extremal spectrum of full reorth and
+    keeps the basis orthogonal to ~sqrt(eps)."""
+    m = 500
+    a = random_sparse_symmetric(rng, m)
+    op = ell_from_scipy(a, dtype=np.float64)
+    n = 150
+
+    fac_full = lanczos(op, n, reorth="full", dtype=np.float64)
+    fac_sel = lanczos(op, n, reorth="selective", dtype=np.float64)
+
+    from lanczos_tpu.solver.tridiag import ritz_from_factorization
+
+    tf = np.sort(np.asarray(ritz_from_factorization(fac_full)[0]))
+    ts = np.sort(np.asarray(ritz_from_factorization(fac_sel)[0]))
+    # extremal ends agree tightly
+    np.testing.assert_allclose(ts[:5], tf[:5], rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(ts[-5:], tf[-5:], rtol=1e-8, atol=1e-8)
+
+    V = np.asarray(fac_sel.V).T
+    assert check_orthogonal(V) < 1e-6  # ~sqrt(eps) by design
+
+
+def test_selective_through_eigsh(rng):
+    m = 400
+    a = random_sparse_symmetric(rng, m)
+    res = eigsh(a, k=4, n=120, which="SA", reorth="selective", dtype=np.float64)
+    exact = np.sort(scipy.sparse.linalg.eigsh(a, k=4, which="SA")[0])
+    np.testing.assert_allclose(np.asarray(res.eigenvalues), exact, rtol=1e-7, atol=1e-7)
+    assert res.good_mask().all()
