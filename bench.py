@@ -1,110 +1,9 @@
-"""Benchmark: flagship SpMV (3D deuteron Hamiltonian, 27-point stencil).
+"""Benchmark entry point: flagship SpMV on the TPU chip.
 
-Prints ONE JSON line:
-  metric       spmv_effective_bandwidth — effective HBM traffic of the
-               matrix-free stencil SpMV (read x + write y + read diag =
-               12 B/point in fp32) on the reference's flagship problem size
-               (N=160^3 = 4.096M points, ~110M stencil taps;
-               /root/reference/Python/Regular/3Ddeuteron.py:63-65).
-  vs_baseline  speedup in nnz/s over the reference's own compute path for
-               this exact problem: scipy.sparse CSR SpMV on the host CPU
-               (3Ddeuteron.py:95 runs use_cuda=False), measured here on the
-               same matrix.
-"""
+Prints ONE JSON line (see lanczos_tpu/utils/bench_impl.py for details and
+the baseline definition)."""
 
-import json
-import time
-
-import numpy as np
-
-
-def bench_tpu_spmv(n_grid=160, iters=30, dtype="float32"):
-    import jax
-    import jax.numpy as jnp
-    import lanczos_tpu as lt
-
-    H = lt.build_regular_hamiltonian(
-        n_grid, 25.0, lt.deuteron_potential_3d, stencil="27", dtype=dtype
-    )
-    m = H.shape[0]
-
-    @jax.jit
-    def chain(x):
-        # Back-to-back SpMVs in one dispatch; renormalize to keep finite.
-        def body(_, v):
-            y = H.matvec(v)
-            return y / jnp.linalg.norm(y)
-
-        return jax.lax.fori_loop(0, iters, body, x)
-
-    x = jnp.ones(m, dtype=dtype) / np.sqrt(m)
-    chain(x).block_until_ready()  # compile + warm
-    t0 = time.perf_counter()
-    chain(x).block_until_ready()
-    dt = time.perf_counter() - t0
-    per_spmv = dt / iters
-    itemsize = jnp.dtype(dtype).itemsize
-    bytes_per = 3 * m * itemsize  # read x, write y, read diag
-    nnz_per = 27 * m  # stencil taps (diagonal merged into the center tap)
-    return {
-        "m": m,
-        "spmv_s": per_spmv,
-        "gbps": bytes_per / per_spmv / 1e9,
-        "nnz_per_s": nnz_per / per_spmv,
-        "backend": jax.default_backend(),
-    }
-
-
-def bench_scipy_baseline(n_grid=160, iters=3, dtype="float64"):
-    """The reference's compute path: scipy CSR SpMV of the same H on host CPU."""
-    import scipy.sparse
-
-    import lanczos_tpu as lt
-    from lanczos_tpu.ops.assemble import stencil_to_ell
-
-    H = lt.build_regular_hamiltonian(
-        n_grid, 25.0, lt.deuteron_potential_3d, stencil="27", dtype="float32"
-    )
-    ell = stencil_to_ell(H)
-    m = H.shape[0]
-    k = ell.cols.shape[1]
-    # Uniform rows: CSR arrays directly from ELL, no COO round-trip.
-    indices = np.asarray(ell.cols).reshape(-1)
-    data = np.asarray(ell.vals, dtype=dtype).reshape(-1)
-    indptr = np.arange(m + 1, dtype=np.int64) * k
-    csr = scipy.sparse.csr_matrix((data, indices, indptr), shape=(m, m))
-    x = np.ones(m, dtype=dtype) / np.sqrt(m)
-    csr @ x  # warm
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = csr @ x
-    dt = (time.perf_counter() - t0) / iters
-    return {"spmv_s": dt, "nnz_per_s": csr.nnz / dt}
-
-
-def main():
-    tpu = bench_tpu_spmv()
-    ref = bench_scipy_baseline()
-    vs = tpu["nnz_per_s"] / ref["nnz_per_s"]
-    print(
-        json.dumps(
-            {
-                "metric": "spmv_effective_bandwidth",
-                "value": round(tpu["gbps"], 2),
-                "unit": "GB/s",
-                "vs_baseline": round(vs, 2),
-                "detail": {
-                    "problem": "3D deuteron, 27pt stencil, N=160^3, fp32",
-                    "backend": tpu["backend"],
-                    "spmv_time_s": round(tpu["spmv_s"], 6),
-                    "nnz_per_s": round(tpu["nnz_per_s"], 0),
-                    "baseline": "scipy CSR SpMV, host CPU (reference path)",
-                    "baseline_spmv_time_s": round(ref["spmv_s"], 4),
-                },
-            }
-        )
-    )
-
+from lanczos_tpu.utils.bench_impl import main
 
 if __name__ == "__main__":
     main()
