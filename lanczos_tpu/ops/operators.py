@@ -288,7 +288,22 @@ class StencilOperator(LinearOperator):
         b = w1 * xg + w2 * mid + w3 * g11
         return a + jnp.einsum("Xx,zyx->zyX", sx, b, precision=prec)
 
+    @property
+    def _pallas_ok(self) -> bool:
+        """The Pallas slab kernel covers 3D nearest-neighbor stencils on TPU."""
+        from .pallas_kernels import pallas_supported
+
+        return (
+            len(self.grid_shape) == 3
+            and all(all(abs(o) <= 1 for o in off) for off in self.offsets)
+            and pallas_supported()
+        )
+
     def matvec(self, x):
+        if self._pallas_ok:
+            from .pallas_kernels import stencil_spmv_pallas
+
+            return stencil_spmv_pallas(self, x, interpret=False)
         xg = x.reshape(self.grid_shape)
         y = self._apply_stencil(xg).reshape(-1)
         if self.diag is not None:
@@ -313,6 +328,10 @@ class StencilOperator(LinearOperator):
         return y
 
     def matmat(self, X):
+        if self._pallas_ok:
+            from .pallas_kernels import stencil_spmm_pallas
+
+            return stencil_spmm_pallas(self, X, interpret=False)
         return jax.vmap(self.matvec, in_axes=1, out_axes=1)(X)
 
     @property

@@ -2,14 +2,20 @@
 
 Prints ONE JSON line:
   metric       spmv_effective_bandwidth — effective HBM traffic of the
-               matrix-free stencil SpMV (read x + write y + read diag =
-               12 B/point in fp32) on the reference's flagship problem size
+               stencil SpMV (read x + write y + read diag = 12 B/point in
+               fp32) on the reference's flagship problem size
                (N=160^3 = 4.096M points, ~110M stencil taps;
                /root/reference/Python/Regular/3Ddeuteron.py:63-65).
   vs_baseline  speedup in nnz/s over the reference's own compute path for
                this exact problem: scipy.sparse CSR SpMV on the host CPU
                (3Ddeuteron.py:95 runs use_cuda=False), measured here on the
                same matrix.
+
+Timing methodology: on the tunneled TPU runtime ``block_until_ready`` can
+return before the device work has finished, so every measurement forces a
+data-dependent scalar readback, and per-iteration time is obtained by
+DIFFERENCING two chain lengths (n_hi - n_lo iterations) — fixed dispatch,
+tunnel, and readback latencies cancel exactly.
 """
 
 import json
@@ -18,7 +24,28 @@ import time
 import numpy as np
 
 
-def bench_tpu_spmv(n_grid=160, iters=30, dtype="float32"):
+def _chain_time_per_iter(make_chain, x, lo=5, hi=505, repeats=5):
+    """Per-iteration time of ``make_chain(n)(x)`` via two-length differencing.
+
+    The chain must return an array whose [0] element depends on every
+    iteration; reading it back forces completion on runtimes where
+    block_until_ready is unreliable.
+    """
+    f_lo, f_hi = make_chain(lo), make_chain(hi)
+    for f in (f_lo, f_hi):
+        float(f(x)[0])  # compile + warm
+
+    def once(f):
+        t0 = time.perf_counter()
+        float(f(x)[0])
+        return time.perf_counter() - t0
+
+    t_lo = min(once(f_lo) for _ in range(repeats))
+    t_hi = min(once(f_hi) for _ in range(repeats))
+    return max((t_hi - t_lo) / (hi - lo), 1e-9)
+
+
+def bench_tpu_spmv(n_grid=160, dtype="float32"):
     import jax
     import jax.numpy as jnp
     import lanczos_tpu as lt
@@ -28,21 +55,20 @@ def bench_tpu_spmv(n_grid=160, iters=30, dtype="float32"):
     )
     m = H.shape[0]
 
-    @jax.jit
-    def chain(x):
-        # Back-to-back SpMVs in one dispatch; renormalize to keep finite.
-        def body(_, v):
-            y = H.matvec(v)
-            return y / jnp.linalg.norm(y)
+    def make_chain(iters):
+        @jax.jit
+        def chain(x):
+            def body(_, v):
+                # Scale instead of normalize: keeps the chain numerically
+                # finite without adding a full reduction to the hot loop.
+                return H.matvec(v) * jnp.asarray(1e-2, v.dtype)
 
-        return jax.lax.fori_loop(0, iters, body, x)
+            return jax.lax.fori_loop(0, iters, body, x)
+
+        return chain
 
     x = jnp.ones(m, dtype=dtype) / np.sqrt(m)
-    chain(x).block_until_ready()  # compile + warm
-    t0 = time.perf_counter()
-    chain(x).block_until_ready()
-    dt = time.perf_counter() - t0
-    per_spmv = dt / iters
+    per_spmv = _chain_time_per_iter(make_chain, x)
     itemsize = jnp.dtype(dtype).itemsize
     bytes_per = 3 * m * itemsize  # read x, write y, read diag
     nnz_per = 27 * m  # stencil taps (diagonal merged into the center tap)
