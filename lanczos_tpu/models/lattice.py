@@ -306,6 +306,7 @@ def find_neighbors(
     idx: Optional[np.ndarray] = None,
     *,
     chunk: int = 4096,
+    backend: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Neighbor point indices within grid distance D (excluding self).
 
@@ -315,7 +316,20 @@ def find_neighbors(
     (2D+1)^3 - 1 stencil at their own spacing; points near a box with a
     different spacing search the fine cube of radius D * local_a and keep
     only mirror-symmetric existing points.
+
+    backend: "auto" (native C++ engine when available, else numpy),
+    "native" (require the C++ engine), or "numpy".
     """
+    if backend not in ("auto", "native", "numpy"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if backend in ("auto", "native"):
+        from ..native import find_neighbors_native
+
+        out = find_neighbors_native(lat, d, idx)
+        if out is not None:
+            return out
+        if backend == "native":
+            raise RuntimeError("native neighbor engine unavailable (g++ build failed?)")
     if idx is None:
         idx = np.arange(lat.num_points)
     idx = np.asarray(idx)
