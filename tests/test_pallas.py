@@ -67,6 +67,39 @@ def test_spmm_matches_xla():
     )
 
 
+def test_spmv_flat_plane_branch():
+    """Grid with ny*nx % 128 == 0 but nx % 128 != 0 exercises the
+    flattened-plane kernel (the lane-alignment fast path)."""
+    offs = [
+        (0, 0, 0), (0, 0, 1), (0, 0, -1), (0, 1, 0), (0, -1, 0),
+        (1, 0, 0), (-1, 0, 0), (1, 1, 1), (-1, -1, -1), (0, 1, -1),
+    ]
+    w = [1.0, 0.5, -0.5, 0.25, 2.0, -1.5, 3.0, 0.125, -0.25, 0.75]
+    diag = np.linspace(-1.0, 1.0, 8 * 16 * 8).astype(np.float32)
+    op = make_stencil_operator((8, 16, 8), offs, w, diag=diag, dtype=jnp.float32)
+    assert (16 * 8) % 128 == 0 and 8 % 128 != 0  # hits the flat-plane branch
+    x = jax.random.normal(jax.random.PRNGKey(3), (op.shape[0],), dtype=jnp.float32)
+    y_ref = _xla_matvec(op, x)
+    y_pal = stencil_spmv_pallas(op, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), atol=1e-5, rtol=1e-4)
+
+
+def test_spmv_flat_graded_ladder():
+    """N=16 27-pt deuteron: plane=256 is lane-aligned and the stencil is
+    graded, exercising the factorized ladder fast path."""
+    H = lt.build_regular_hamiltonian(
+        16, 25.0, lt.deuteron_potential_3d, stencil="27", dtype="float32"
+    )
+    assert H.graded is not None and (16 * 16) % 128 == 0 and 16 % 128 != 0
+    x = jax.random.normal(jax.random.PRNGKey(4), (H.shape[0],), dtype=jnp.float32)
+    y_ref = _xla_matvec(H, x)
+    y_pal = stencil_spmv_pallas(H, x, interpret=True)
+    scale = float(jnp.max(jnp.abs(y_ref)))
+    np.testing.assert_allclose(
+        np.asarray(y_pal), np.asarray(y_ref), atol=2e-5 * scale, rtol=1e-4
+    )
+
+
 def test_offsets_beyond_unit_rejected():
     op = make_stencil_operator((8, 8, 8), [(2, 0, 0)], [1.0], dtype=jnp.float32)
     with pytest.raises(ValueError):
