@@ -55,11 +55,12 @@ def _solve_weights_dedup(nbrs, rels):
     equal clouds have equal byte keys — the array form of the reference's
     hash memoization, IrrLap.py:42-45 / Stencils.py:39-55)."""
     p, k = nbrs.shape
+    nd = rels.shape[-1]
     mask = nbrs >= 0
     keyed = np.concatenate([rels.reshape(p, -1), mask.astype(np.int64)], axis=1)
     uniq, inverse = np.unique(keyed, axis=0, return_inverse=True)
-    uniq_rels = uniq[:, : 3 * k].reshape(-1, k, 3)
-    uniq_mask = uniq[:, 3 * k :].astype(bool)
+    uniq_rels = uniq[:, : nd * k].reshape(-1, k, nd)
+    uniq_mask = uniq[:, nd * k :].astype(bool)
     uniq_w = laplacian_weights_batch(uniq_rels, uniq_mask)
     weights = uniq_w[inverse]
     weights[~mask] = 0.0
@@ -70,10 +71,11 @@ def _moment_violation(rels, weights):
     """Per-row deviation from the Laplacian moment conditions
     sum w x_a = 0, sum w x_a x_b = 2 delta_ab."""
     x = rels.astype(np.float64)
+    nd = rels.shape[-1]
     err = np.zeros(len(weights))
-    for a in range(3):
+    for a in range(nd):
         err = np.maximum(err, np.abs(np.einsum("pk,pk->p", weights, x[..., a])))
-        for b in range(a, 3):
+        for b in range(a, nd):
             target = 2.0 if a == b else 0.0
             err = np.maximum(
                 err,
@@ -88,7 +90,7 @@ def _moment_violation(rels, weights):
 def irregular_laplacian_rows(
     lat: IrregularLattice,
     *,
-    min_neighbors: int = 26,
+    min_neighbors: Optional[int] = None,
     max_d: int = 3,
     moment_tol: float = 1e-6,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -105,6 +107,8 @@ def irregular_laplacian_rows(
     non-Laplacian row (an unvalidated failure mode of the reference).
     """
     p = lat.num_points
+    if min_neighbors is None:
+        min_neighbors = 3**lat.ndim - 1  # the reference's 26 in 3D
     nbrs, rels = find_neighbors(lat, 1)
     weights = _solve_weights_dedup(nbrs, rels)
     counts = (nbrs >= 0).sum(axis=1)
@@ -170,7 +174,7 @@ def assemble_irregular_hamiltonian(
     if potential is not None:
         phys = lat.physical_coords()
         diag = diag + np.asarray(
-            jax.jit(potential)(phys[:, 0], phys[:, 1], phys[:, 2]),
+            jax.jit(potential)(*(phys[:, a] for a in range(lat.ndim))),
             dtype=np.float64,
         )
 
@@ -194,7 +198,7 @@ def assemble_irregular_hamiltonian(
     elif symmetrize == "average":
         h = (0.5 * (h + h.T)).tocoo()
     elif symmetrize == "volume":
-        vol = (lat.spacings[lat.box_of_point] ** 3).astype(np.float64)
+        vol = (lat.spacings[lat.box_of_point] ** lat.ndim).astype(np.float64)
         d = np.sqrt(vol)
         dh = scipy.sparse.diags(d)
         dinv = scipy.sparse.diags(1.0 / d)

@@ -1,18 +1,21 @@
-"""Least-squares Laplacian weights for arbitrary point clouds.
+"""Least-squares Laplacian weights for arbitrary point clouds (any dimension).
 
 Re-implements the moment-matrix method of the reference's IrrLap.py
 (/root/reference/Python/Irregular/IrrLap.py:36-125; the method's source is
-papers/IrregularLaplacian.pdf) in vectorized batch form:
+papers/IrregularLaplacian.pdf) in vectorized batch form, generalized from the
+reference's 3D-only matrix to d dimensions (the reference's gen-2 lattice is
+2/3/6-D, Lattice.py, but its weight generator never was).
 
 Given K neighbor offsets x_i (relative to the center point, in fine-grid
 units), with distance weighting w_i = 1/|x_i|^4 (IrrLap.py:59: w=1/r**2 where
 r is the SQUARED distance), build the quadratic-fit basis
 
-    b(x) = [x0, x1, x2, x0^2, x0*x1, x0*x2, x1^2, x1*x2, x2^2]   (9 terms)
+    b(x) = [x_0..x_{d-1},  x_a x_b for a <= b]      (d + d(d+1)/2 terms;
+                                                     9 in 3D, the reference's
+                                                     IrrLap.py:64-98 matrix)
 
-and the symmetric moment matrix M = sum_i w_i b(x_i) b(x_i)^T (IrrLap.py:62-98
-builds exactly this matrix element-wise).  The Laplacian functional extracts
-the trace of the fitted Hessian: with e = e_{x0^2} + e_{x1^2} + e_{x2^2},
+and the symmetric moment matrix M = sum_i w_i b(x_i) b(x_i)^T.  The Laplacian
+functional extracts the trace of the fitted Hessian: with e = sum_a e_{x_a^2},
 
     weights_i = w_i * (b(x_i) . M^{-1} e)        (IrrLap.py:100-122)
 
@@ -28,6 +31,7 @@ canonical byte key and each unique cloud is solved once (numpy batch, fp64).
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -35,20 +39,28 @@ import numpy as np
 __all__ = ["laplacian_weights", "laplacian_weights_batch", "WeightCache"]
 
 
+@lru_cache(maxsize=None)
+def _basis_layout(nd: int) -> Tuple[Tuple[Tuple[int, int], ...], np.ndarray]:
+    """Quadratic-term index pairs (a, b) a<=b, and the Laplacian extraction
+    vector over the full basis [linear terms | quadratic terms]."""
+    pairs = tuple((a, b) for a in range(nd) for b in range(a, nd))
+    e = np.zeros(nd + len(pairs))
+    for j, (a, b) in enumerate(pairs):
+        if a == b:
+            e[nd + j] = 1.0
+    return pairs, e
+
+
 def _quad_basis(points: np.ndarray) -> np.ndarray:
-    """(..., K, 3) offsets -> (..., K, 9) quadratic basis, reference column
-    order: gradient x,y,z then Hessian (0,0),(0,1),(0,2),(1,1),(1,2),(2,2)."""
-    x0, x1, x2 = points[..., 0], points[..., 1], points[..., 2]
-    return np.stack(
-        [x0, x1, x2, x0 * x0, x0 * x1, x0 * x2, x1 * x1, x1 * x2, x2 * x2],
-        axis=-1,
-    )
+    """(..., K, d) offsets -> (..., K, d + d(d+1)/2) quadratic basis.
 
-
-#: Laplacian extraction vector: selects the diagonal Hessian basis entries
-#: ((0,0) -> col 3, (1,1) -> col 6, (2,2) -> col 8), as in IrrLap.py:102-110.
-_E_LAP = np.zeros(9)
-_E_LAP[[3, 6, 8]] = 1.0
+    Column order (3D): gradient x,y,z then Hessian (0,0),(0,1),(0,2),(1,1),
+    (1,2),(2,2) — the reference's IrrLap.py:64-98 layout."""
+    nd = points.shape[-1]
+    pairs, _ = _basis_layout(nd)
+    cols = [points[..., a] for a in range(nd)]
+    cols += [points[..., a] * points[..., b] for a, b in pairs]
+    return np.stack(cols, axis=-1)
 
 
 def laplacian_weights_batch(
@@ -56,12 +68,14 @@ def laplacian_weights_batch(
 ) -> np.ndarray:
     """Weights for a batch of point clouds.
 
-    points: (B, K, 3) float/int offsets; mask: (B, K) bool of valid entries
+    points: (B, K, d) float/int offsets; mask: (B, K) bool of valid entries
     (padded entries and the origin get weight 0, matching the reference's
     r=0 -> weight 0 behavior, IrrLap.py:56-57).
     Returns (B, K) weights.
     """
     pts = np.asarray(points, dtype=np.float64)
+    nd = pts.shape[-1]
+    _, e_lap = _basis_layout(nd)
     r2 = np.sum(pts * pts, axis=-1)  # (B, K) squared distances
     valid = r2 > 0
     if mask is not None:
@@ -69,17 +83,17 @@ def laplacian_weights_batch(
     with np.errstate(divide="ignore"):
         w = np.where(valid, 1.0 / np.where(valid, r2, 1.0) ** 2, 0.0)  # 1/r^4
 
-    basis = _quad_basis(pts)  # (B, K, 9)
+    basis = _quad_basis(pts)  # (B, K, nb)
     bw = basis * w[..., None]
-    moment = np.einsum("bki,bkj->bij", bw, basis)  # (B, 9, 9), symmetric
+    moment = np.einsum("bki,bkj->bij", bw, basis)  # (B, nb, nb), symmetric
 
-    rhs = np.broadcast_to(_E_LAP, moment.shape[:-2] + (9,))
+    rhs = np.broadcast_to(e_lap, moment.shape[:-2] + e_lap.shape)
     try:
-        mit = np.linalg.solve(moment, rhs[..., None])[..., 0]  # (B, 9)
+        mit = np.linalg.solve(moment, rhs[..., None])[..., 0]  # (B, nb)
     except np.linalg.LinAlgError:
         # Singular moment matrix (degenerate cloud): least-squares fallback.
         mit = np.stack(
-            [np.linalg.lstsq(m, _E_LAP, rcond=None)[0] for m in moment]
+            [np.linalg.lstsq(m, e_lap, rcond=None)[0] for m in moment]
         )
     # The quadratic fit f ~ g.x + x^T C x has C_aa = (1/2) d^2f/dx_a^2, so the
     # extracted functional is half the Laplacian; the factor 2 restores
@@ -92,7 +106,7 @@ def laplacian_weights_batch(
 
 
 def laplacian_weights(points: np.ndarray) -> np.ndarray:
-    """Single-cloud convenience wrapper: (K, 3) -> (K,)."""
+    """Single-cloud convenience wrapper: (K, d) -> (K,)."""
     return laplacian_weights_batch(points[None])[0]
 
 

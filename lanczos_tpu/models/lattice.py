@@ -1,18 +1,18 @@
-"""Box-decomposed multi-resolution lattice, as arrays.
+"""Box-decomposed multi-resolution lattice, as arrays, in any dimension.
 
 TPU-first redesign of the reference's irregular-grid layer
-(/root/reference/Python/Irregular/IrrGrid.py gen-1 and Lattice.py gen-2).
-The reference walks a per-point object graph (Box instances, dict-keyed
-neighbor displacement tables, three-case Python branching per point,
-IrrGrid.py:67-138); here the whole lattice is a handful of flat arrays and
-the neighbor search is vectorized over all points at once:
+(/root/reference/Python/Irregular/IrrGrid.py gen-1 (3D) and Lattice.py gen-2
+(2/3/6-D)).  The reference walks a per-point object graph (Box instances,
+dict-keyed neighbor displacement tables, three-case Python branching per
+point, IrrGrid.py:67-138); here the whole lattice is a handful of flat arrays
+and the neighbor search is vectorized over all points at once:
 
 * an occupancy grid maps every fine-grid coordinate to its point index (or
   -1), collapsing the reference's box-hopping coordinate conversions into one
   gather;
 * the three cases of the reference's search reduce to two vectorized paths:
   a fast path (all nearby boxes share the point's spacing: neighbors are the
-  aligned (2D+1)^3 sub-lattice stencil) and an edge path (any differing
+  aligned (2D+1)^nd sub-lattice stencil) and an edge path (any differing
   spacing nearby: scan the fine cube of radius D*local_a, keep points that
   exist AND whose mirror image through the center exists — the reference's
   mirror-symmetry filter, IrrGrid.py:125-137 / symetry.py:6-36);
@@ -20,11 +20,16 @@ the neighbor search is vectorized over all points at once:
   per-box a ~ sqrt(E_max/E), E = max deviation of the potential from the
   target energies E0, rounded up to a power of two and clamped to
   N_per_box // 8, with the same ``overwrite_spacing`` debug mode
-  (IrrGrid.py:330-334).
+  (IrrGrid.py:330-334);
+* dimension is a parameter (``ndim``), covering the reference's gen-2 scope
+  (Lattice.py:67 handles dims {2,3,6}; its 6-D index arithmetic bug in
+  tools2.py:27-34 is documented in SURVEY.md and does not carry over — the
+  ravel here is positional by construction).
 
 Conventions mirrored from the reference: fine spacing s = L/(N-1)
-(IrrGrid.py:62), potential centered at L/2 (IrrGrid.py:63), x-fastest point
-ordering within each box (IrrGrid.py:32), periodic boundary conditions.
+(IrrGrid.py:62), potential centered at L/2 (IrrGrid.py:63), axis-0-fastest
+point ordering within each box (IrrGrid.py:32), periodic boundary conditions,
+flat index = sum_a c_a * N^a.
 """
 
 from __future__ import annotations
@@ -47,11 +52,11 @@ __all__ = [
 class IrregularLattice:
     """Flat-array lattice description.
 
-    coords:        (P, 3) int fine-grid coordinates of every lattice point.
+    coords:        (P, nd) int fine-grid coordinates of every lattice point.
     box_of_point:  (P,) box id owning each point.
     spacings:      (nr_boxes,) spacing a_b (units of the fine grid).
-    occupancy:     (N^3,) flat map fine coord -> point idx, -1 where empty
-                   (flat index = x + y*N + z*N^2).
+    occupancy:     (N^nd,) flat map fine coord -> point idx, -1 where empty
+                   (flat index = sum_a c_a * N^a, axis 0 fastest).
     """
 
     n_fine: int
@@ -62,6 +67,7 @@ class IrregularLattice:
     box_of_point: np.ndarray
     occupancy: np.ndarray
     box_starts: np.ndarray
+    ndim: int = 3
 
     @property
     def num_points(self) -> int:
@@ -80,19 +86,34 @@ class IrregularLattice:
     def potential_center(self) -> float:
         return self.length / 2.0
 
+    @property
+    def strides(self) -> np.ndarray:
+        return self.n_fine ** np.arange(self.ndim, dtype=np.int64)
+
     def physical_coords(self) -> np.ndarray:
-        """(P, 3) physical coordinates centered on the potential
+        """(P, nd) physical coordinates centered on the potential
         (IrrHamiltonian.py:32: coords*s - center)."""
         return self.coords * self.s - self.potential_center
 
     def flat_index(self, coords: np.ndarray) -> np.ndarray:
-        n = self.n_fine
-        c = np.mod(coords, n)
-        return c[..., 0] + c[..., 1] * n + c[..., 2] * (n * n)
+        c = np.mod(coords, self.n_fine)
+        return c @ self.strides
 
     def lookup(self, coords: np.ndarray) -> np.ndarray:
         """Point index at the given fine coords (-1 where no point exists)."""
         return self.occupancy[self.flat_index(coords)]
+
+
+def _box_corners(box_depth: int, npb: int, ndim: int) -> np.ndarray:
+    """(nb, nd) fine-grid corner of every box; box id = sum_a b_a * bd^a
+    (axis 0 fastest, the reference's [[i,j,k] for k for j for i] order)."""
+    axes = [range(box_depth)] * ndim
+    # itertools.product varies the LAST factor fastest; we want axis 0
+    # fastest, so build tuples reversed.
+    corners = np.array(
+        [t[::-1] for t in itertools.product(*axes[::-1])], dtype=np.int64
+    )
+    return corners * npb
 
 
 def potential_spacings(
@@ -101,8 +122,9 @@ def potential_spacings(
     box_depth: int,
     potential: Callable,
     *,
+    ndim: int = 3,
     target_energies: Sequence[float] = (-1.626, 10.286),
-    samples: int = 101,
+    samples: Optional[int] = None,
     overwrite_spacing: bool = False,
     power_of_two: bool = True,
     balance: bool = True,
@@ -110,7 +132,7 @@ def potential_spacings(
     """Per-box spacing from the potential's local scale.
 
     Implements CalculatePointDensity (IrrGrid.py:309-337): sample the
-    potential on a samples^3 grid per box, E_b = max over the target
+    potential on a samples^nd grid per box, E_b = max over the target
     energies E0 of max|V - E0|, a_factor = sqrt(max_b E_b / E_b), rounded UP
     to a power of two (the writeup's spacing rule a ~ 1/sqrt(E),
     notes.tex:244-281) and clamped to n_per_box // 8 so no box drops below
@@ -120,13 +142,13 @@ def potential_spacings(
     two <= the cap, the gen-2 constraint (Lattice.py:30-33).
 
     ``balance=True`` (default) additionally enforces 2:1 grading: adjacent
-    boxes (26-neighborhood, periodic) may differ by at most a factor of 2 in
-    spacing.  The reference has no such constraint and can produce 1->4
-    jumps, at which the least-squares interface stencils lose definiteness
-    and the kinetic operator grows large spurious interface-localized
-    eigenmodes (observed empirically on the N=120 deuteron lattice; the
-    reference never validated this regime).  2:1 grading is the standard
-    AMR cure.
+    boxes ((3^nd - 1)-neighborhood, periodic) may differ by at most a factor
+    of 2 in spacing.  The reference has no such constraint and can produce
+    1->4 jumps, at which the least-squares interface stencils lose
+    definiteness and the kinetic operator grows large spurious
+    interface-localized eigenmodes (observed empirically on the N=120
+    deuteron lattice; the reference never validated this regime).  2:1
+    grading is the standard AMR cure.
     """
     import jax
 
@@ -134,34 +156,32 @@ def potential_spacings(
     npb = n_fine // box_depth
     s = length / (n_fine - 1)
     center = length / 2.0
-    nb = box_depth**3
+    nb = box_depth**ndim
 
-    corners = (
-        np.array(
-            [[i, j, k] for k in range(box_depth) for j in range(box_depth) for i in range(box_depth)],
-            dtype=np.int64,
-        )
-        * npb
-    )
     if overwrite_spacing:
         # Debug mode (IrrGrid.py:330-334): uniform 2 with a fine center box.
         a = np.ones(nb, dtype=np.int64)
-        if nb > 13:
+        if nb > 2:
             a[:] = 2
-            a[13] = 1
+            a[nb // 2] = 1
         return a
 
+    if samples is None:
+        # ~101^3 total potential evaluations per box regardless of dimension.
+        samples = max(5, int(round(101 ** (3.0 / ndim))))
+    corners = _box_corners(box_depth, npb, ndim)
     lin = np.linspace(0, length / box_depth, samples)
-    gz, gy, gx = np.meshgrid(lin, lin, lin, indexing="ij")
-    # (nb, S, S, S) coordinates: box corner offset + in-box sample position.
-    off = corners * s - center  # (nb, 3)
-    xs = gx[None] + off[:, 0, None, None, None]
-    ys = gy[None] + off[:, 1, None, None, None]
-    zs = gz[None] + off[:, 2, None, None, None]
-    pot = np.asarray(jax.jit(potential)(xs, ys, zs), dtype=np.float64)
+    grids = np.meshgrid(*([lin] * ndim), indexing="ij")
+    # (nb, S, ..., S) coordinates per axis: box corner offset + in-box sample.
+    off = corners * s - center  # (nb, nd)
+    coords = [
+        grids[a][None] + off[:, a].reshape((-1,) + (1,) * ndim)
+        for a in range(ndim)
+    ]
+    pot = np.asarray(jax.jit(potential)(*coords), dtype=np.float64)
 
     e0 = np.asarray(target_energies, dtype=np.float64)
-    dev = np.abs(pot[..., None] - e0)  # (nb, S, S, S, n_e0)
+    dev = np.abs(pot[..., None] - e0)  # (nb, S..., n_e0)
     e_box = dev.reshape(nb, -1).max(axis=1)
     a_factor = np.sqrt(e_box.max() / e_box)
     a = 2 ** np.ceil(np.log2(a_factor))
@@ -171,25 +191,24 @@ def potential_spacings(
     a = np.minimum(a.astype(np.int64), cap)
     a = np.maximum(a, 1)
     if balance:
-        a = _balance_spacings(a, box_depth)
+        a = _balance_spacings(a, box_depth, ndim)
     return a
 
 
-def _balance_spacings(a: np.ndarray, box_depth: int) -> np.ndarray:
-    """Enforce 2:1 grading across the periodic 26-neighborhood of boxes."""
+def _balance_spacings(a: np.ndarray, box_depth: int, ndim: int = 3) -> np.ndarray:
+    """Enforce 2:1 grading across the periodic (3^nd - 1)-neighborhood."""
     a = a.copy()
     bd = box_depth
-    idx = np.arange(bd**3)
-    bi, bj, bk = idx % bd, (idx // bd) % bd, idx // bd**2
-    for _ in range(bd * 3):  # more than enough sweeps to reach the fixpoint
+    idx = np.arange(bd**ndim)
+    bcoord = [(idx // bd**k) % bd for k in range(ndim)]
+    for _ in range(bd * ndim):  # more than enough sweeps to reach the fixpoint
         changed = False
-        for disp in itertools.product((-1, 0, 1), repeat=3):
+        for disp in itertools.product((-1, 0, 1), repeat=ndim):
             if not any(disp):
                 continue
-            ni = (bi + disp[0]) % bd
-            nj = (bj + disp[1]) % bd
-            nk = (bk + disp[2]) % bd
-            nbr = ni + nj * bd + nk * bd * bd
+            nbr = sum(
+                ((bcoord[k] + disp[k]) % bd) * bd**k for k in range(ndim)
+            )
             cap = 2 * a[nbr]
             over = a > cap
             if over.any():
@@ -206,27 +225,29 @@ def build_lattice(
     box_depth: int,
     spacings: Optional[np.ndarray] = None,
     *,
+    ndim: int = 3,
     potential: Optional[Callable] = None,
     overwrite_spacing: bool = False,
     **spacing_kwargs,
 ) -> IrregularLattice:
-    """Construct the lattice arrays (vectorized; replaces IrrGrid.SetupBoxes)."""
+    """Construct the lattice arrays (vectorized; replaces IrrGrid.SetupBoxes
+    and the gen-2 Lattice.setup_boxes, any dimension)."""
     if n_fine % box_depth != 0:
         raise ValueError(
             f"n_fine={n_fine} must be a multiple of box_depth={box_depth}"
         )
     npb = n_fine // box_depth
-    nb = box_depth**3
+    nb = box_depth**ndim
     if spacings is None:
         if overwrite_spacing or potential is None:
             spacings = potential_spacings(
-                n_fine, length, box_depth, potential or (lambda x, y, z: 0 * x),
-                overwrite_spacing=True,
+                n_fine, length, box_depth, potential or (lambda *c: 0 * c[0]),
+                ndim=ndim, overwrite_spacing=True,
             )
         else:
             spacings = potential_spacings(
                 n_fine, length, box_depth, potential,
-                overwrite_spacing=False, **spacing_kwargs,
+                ndim=ndim, overwrite_spacing=False, **spacing_kwargs,
             )
     spacings = np.asarray(spacings, dtype=np.int64)
     assert spacings.shape == (nb,)
@@ -235,32 +256,26 @@ def build_lattice(
             f"every spacing must divide n_per_box={npb}, got {spacings}"
         )
 
-    corners = (
-        np.array(
-            [[i, j, k] for k in range(box_depth) for j in range(box_depth) for i in range(box_depth)],
-            dtype=np.int64,
-        )
-        * npb
-    )
-    counts = (npb // spacings) ** 3
+    corners = _box_corners(box_depth, npb, ndim)
+    counts = (npb // spacings) ** ndim
     box_starts = np.concatenate([[0], np.cumsum(counts)])
     total = int(box_starts[-1])
 
-    coords = np.empty((total, 3), dtype=np.int64)
+    coords = np.empty((total, ndim), dtype=np.int64)
     box_of_point = np.empty(total, dtype=np.int32)
     for b in range(nb):
         a = int(spacings[b])
         n_loc = npb // a
         r = np.arange(n_loc, dtype=np.int64) * a
-        # x fastest (IrrGrid.py:32): [[i,j,k] for k for j for i].
-        gz, gy, gx = np.meshgrid(r, r, r, indexing="ij")
-        pts = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)
+        # Axis 0 fastest (IrrGrid.py:32): [[i,j,k] for k for j for i].
+        grids = np.meshgrid(*([r] * ndim), indexing="ij")
+        pts = np.stack([g.ravel() for g in grids[::-1]], axis=1)
         coords[box_starts[b] : box_starts[b + 1]] = pts + corners[b]
         box_of_point[box_starts[b] : box_starts[b + 1]] = b
 
-    occupancy = np.full(n_fine**3, -1, dtype=np.int64)
-    flat = coords[:, 0] + coords[:, 1] * n_fine + coords[:, 2] * n_fine**2
-    occupancy[flat] = np.arange(total)
+    occupancy = np.full(n_fine**ndim, -1, dtype=np.int64)
+    strides = n_fine ** np.arange(ndim, dtype=np.int64)
+    occupancy[coords @ strides] = np.arange(total)
 
     return IrregularLattice(
         n_fine=n_fine,
@@ -271,13 +286,14 @@ def build_lattice(
         box_of_point=box_of_point,
         occupancy=occupancy,
         box_starts=box_starts,
+        ndim=ndim,
     )
 
 
 def _box_of_coord(lat: IrregularLattice, coords: np.ndarray) -> np.ndarray:
     bd = lat.box_depth
     c = np.mod(coords, lat.n_fine) // lat.n_per_box
-    return c[..., 0] + c[..., 1] * bd + c[..., 2] * (bd * bd)
+    return c @ (bd ** np.arange(lat.ndim, dtype=np.int64))
 
 
 def _local_max_spacing(lat: IrregularLattice, idx: np.ndarray, d: int):
@@ -286,18 +302,27 @@ def _local_max_spacing(lat: IrregularLattice, idx: np.ndarray, d: int):
 
     Vectorized version of IsCloseToEdge / IsCloseToEdgeWithDifferentSpacing +
     the "FINDING BIGGEST LOCAL a" step (IrrGrid.py:102-107, 219-242)."""
-    p = lat.coords[idx]  # (Q, 3)
+    p = lat.coords[idx]  # (Q, nd)
     a_own = lat.spacings[lat.box_of_point[idx]]  # (Q,)
     reach = (d * a_own)[:, None]  # (Q, 1)
     a_max = a_own.copy()
     differs = np.zeros(len(idx), dtype=bool)
-    for disp in itertools.product((-1, 0, 1), repeat=3):
+    for disp in itertools.product((-1, 0, 1), repeat=lat.ndim):
         dv = np.asarray(disp, dtype=np.int64)
         touched = _box_of_coord(lat, p + dv * reach)
         a_t = lat.spacings[touched]
         a_max = np.maximum(a_max, a_t)
         differs |= a_t != a_own
     return a_max, differs
+
+
+def _displacements(d: int, ndim: int) -> np.ndarray:
+    """Nonzero displacement tuples in [-d, d]^nd, axis order matching the
+    reference's itertools.product scan (component 0 slowest)."""
+    return np.array(
+        [v for v in itertools.product(range(-d, d + 1), repeat=ndim) if any(v)],
+        dtype=np.int64,
+    )
 
 
 def find_neighbors(
@@ -310,19 +335,21 @@ def find_neighbors(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Neighbor point indices within grid distance D (excluding self).
 
-    Returns (neighbors (Q, K) padded with -1, rel_offsets (Q, K, 3) fine-grid
-    relative positions).  Semantics follow GetNearbyPoints
+    Returns (neighbors (Q, K) padded with -1, rel_offsets (Q, K, nd)
+    fine-grid relative positions).  Semantics follow GetNearbyPoints
     (IrrGrid.py:67-138): interior / same-spacing points get the aligned
-    (2D+1)^3 - 1 stencil at their own spacing; points near a box with a
+    (2D+1)^nd - 1 stencil at their own spacing; points near a box with a
     different spacing search the fine cube of radius D * local_a and keep
     only mirror-symmetric existing points.
 
     backend: "auto" (native C++ engine when available, else numpy),
-    "native" (require the C++ engine), or "numpy".
+    "native" (require the C++ engine), or "numpy".  The native engine
+    covers the 3D case (the reference's production line); other dimensions
+    always use the numpy path.
     """
     if backend not in ("auto", "native", "numpy"):
         raise ValueError(f"unknown backend {backend!r}")
-    if backend in ("auto", "native"):
+    if backend in ("auto", "native") and lat.ndim == 3:
         from ..native import find_neighbors_native
 
         out = find_neighbors_native(lat, d, idx)
@@ -330,33 +357,33 @@ def find_neighbors(
             return out
         if backend == "native":
             raise RuntimeError("native neighbor engine unavailable (g++ build failed?)")
+    elif backend == "native":
+        raise RuntimeError(f"native neighbor engine supports 3D only, lattice is {lat.ndim}D")
     if idx is None:
         idx = np.arange(lat.num_points)
     idx = np.asarray(idx)
     q = len(idx)
+    nd = lat.ndim
     a_own = lat.spacings[lat.box_of_point[idx]]
     local_a, differs = _local_max_spacing(lat, idx, d)
 
-    disp_unit = np.array(
-        [v for v in itertools.product(range(-d, d + 1), repeat=3) if any(v)],
-        dtype=np.int64,
-    )  # ((2d+1)^3 - 1, 3)
+    disp_unit = _displacements(d, nd)  # ((2d+1)^nd - 1, nd)
     s_fast = disp_unit.shape[0]
 
     # Worst-case K over the edge path: all fine offsets in the local_a cube.
     r_max = int(d * local_a.max()) if q else d
-    k_edge = (2 * r_max + 1) ** 3 - 1
+    k_edge = (2 * r_max + 1) ** nd - 1
     k = s_fast if not differs.any() else max(s_fast, k_edge)
 
     nbrs = np.full((q, k), -1, dtype=np.int64)
-    rels = np.zeros((q, k, 3), dtype=np.int64)
+    rels = np.zeros((q, k, nd), dtype=np.int64)
 
     # Fast path: aligned sub-lattice stencil at own spacing.
     fast = ~differs
     if fast.any():
         fi = np.nonzero(fast)[0]
-        p = lat.coords[idx[fi]]  # (F, 3)
-        offs = disp_unit[None] * a_own[fi, None, None]  # (F, S, 3)
+        p = lat.coords[idx[fi]]  # (F, nd)
+        offs = disp_unit[None] * a_own[fi, None, None]  # (F, S, nd)
         found = lat.lookup(p[:, None, :] + offs)
         assert (found >= 0).all(), "aligned stencil point missing from lattice"
         nbrs[fi, :s_fast] = found
@@ -367,14 +394,11 @@ def find_neighbors(
         ei_all = np.nonzero(differs)[0]
         for r in np.unique((d * local_a)[ei_all]):
             sel = ei_all[(d * local_a)[ei_all] == r]
-            cube = np.array(
-                [v for v in itertools.product(range(-r, r + 1), repeat=3) if any(v)],
-                dtype=np.int64,
-            )  # (C, 3)
+            cube = _displacements(int(r), nd)  # (C, nd)
             for lo in range(0, len(sel), chunk):
                 ii = sel[lo : lo + chunk]
-                p = lat.coords[idx[ii]]  # (B, 3)
-                cand = p[:, None, :] + cube[None]  # (B, C, 3)
+                p = lat.coords[idx[ii]]  # (B, nd)
+                cand = p[:, None, :] + cube[None]  # (B, C, nd)
                 exist = lat.lookup(cand)
                 mirror_ok = lat.lookup(p[:, None, :] - cube[None]) >= 0
                 keep = (exist >= 0) & mirror_ok  # (B, C)
