@@ -36,7 +36,10 @@ from .models.lattice import (
     potential_spacings,
 )
 from .models.irrlap import laplacian_weights
-from .models.irr_hamiltonian import assemble_irregular_hamiltonian
+from .models.irr_hamiltonian import (
+    assemble_irregular_hamiltonian,
+    assemble_irregular_hamiltonian_composite,
+)
 from .solver.two_sided import two_sided_eigs, two_sided_lanczos
 from .models.potentials import (
     DEUTERON_REDUCED_REST_ENERGY_MEV,

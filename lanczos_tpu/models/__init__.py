@@ -13,4 +13,8 @@ from .potentials import (
 )
 from .lattice import IrregularLattice, build_lattice, find_neighbors, potential_spacings
 from .irrlap import laplacian_weights, laplacian_weights_batch
-from .irr_hamiltonian import assemble_irregular_hamiltonian, irregular_laplacian_rows
+from .irr_hamiltonian import (
+    assemble_irregular_hamiltonian,
+    assemble_irregular_hamiltonian_composite,
+    irregular_laplacian_rows,
+)

@@ -46,7 +46,11 @@ from .irrlap import laplacian_weights_batch
 from .lattice import IrregularLattice, find_neighbors
 from .potentials import DEUTERON_REDUCED_REST_ENERGY_MEV, kinetic_prefactor
 
-__all__ = ["assemble_irregular_hamiltonian", "irregular_laplacian_rows"]
+__all__ = [
+    "assemble_irregular_hamiltonian",
+    "assemble_irregular_hamiltonian_composite",
+    "irregular_laplacian_rows",
+]
 
 
 def _solve_weights_dedup(nbrs, rels):
@@ -142,6 +146,40 @@ def irregular_laplacian_rows(
             "is too harsh"
         )
     return nbrs, rels, weights
+
+
+def assemble_irregular_hamiltonian_composite(
+    lat: IrregularLattice,
+    potential: Optional[Callable] = None,
+    *,
+    t_factor: Optional[float] = None,
+    rest_energy: float = DEUTERON_REDUCED_REST_ENERGY_MEV,
+    dtype=np.float32,
+):
+    """H = -T + V as a CompositeOperator (the TPU-fast irregular format).
+
+    Returns (op, perm): ``perm`` maps lattice point order -> the operator's
+    level-major order (operator vectors are lattice vectors indexed by perm;
+    see ops.composite).  Numerically identical to the padded-ELL assembly,
+    but the SpMV runs at stencil speed on TPU instead of XLA-gather speed.
+    """
+    import jax
+
+    from ..ops.composite import build_composite
+
+    if t_factor is None:
+        t_factor = kinetic_prefactor(lat.s, rest_energy)
+    nbrs, rels, weights = irregular_laplacian_rows(lat)
+    diag = t_factor * weights.sum(axis=1)
+    if potential is not None:
+        phys = lat.physical_coords()
+        diag = diag + np.asarray(
+            jax.jit(potential)(*(phys[:, a] for a in range(lat.ndim))),
+            dtype=np.float64,
+        )
+    return build_composite(
+        lat, nbrs, rels, weights, diag, scale=-t_factor, dtype=dtype
+    )
 
 
 def assemble_irregular_hamiltonian(
