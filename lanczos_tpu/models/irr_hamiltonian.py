@@ -56,16 +56,51 @@ __all__ = [
 def _solve_weights_dedup(nbrs, rels):
     """LSQ weights, solved once per UNIQUE stencil class (canonical key = the
     offset cloud + its mask; clouds arrive in deterministic scan order, so
-    equal clouds have equal byte keys — the array form of the reference's
-    hash memoization, IrrLap.py:42-45 / Stencils.py:39-55)."""
+    equal clouds have equal keys — the array form of the reference's hash
+    memoization, IrrLap.py:42-45 / Stencils.py:39-55).
+
+    Grouping uses two independent 64-bit random-projection hashes of each
+    row's (offsets, mask) record instead of np.unique(axis=0) — the latter
+    sorts the full (P, ~4K) byte matrix (tens of seconds at P~1e5); hashing
+    is one chunked pass.  Collision probability over 128 bits is
+    negligible (and the reference's own memoization, HashList, accepted far
+    weaker hashing, IrrLap.py:20-34).
+    """
     p, k = nbrs.shape
     nd = rels.shape[-1]
     mask = nbrs >= 0
-    keyed = np.concatenate([rels.reshape(p, -1), mask.astype(np.int64)], axis=1)
-    uniq, inverse = np.unique(keyed, axis=0, return_inverse=True)
-    uniq_rels = uniq[:, : nd * k].reshape(-1, k, nd)
-    uniq_mask = uniq[:, nd * k :].astype(bool)
-    uniq_w = laplacian_weights_batch(uniq_rels, uniq_mask)
+    rng = np.random.default_rng(0xC0FFEE)
+    proj = rng.integers(1, 2**63, size=(2, (nd + 1) * k), dtype=np.uint64)
+    proj |= 1  # odd multipliers mix better under wraparound
+
+    h = np.empty((2, p), dtype=np.uint64)
+    chunk = max(1, (1 << 24) // ((nd + 1) * k))
+    for lo in range(0, p, chunk):
+        hi = min(p, lo + chunk)
+        rec = np.concatenate(
+            [
+                (rels[lo:hi].reshape(hi - lo, -1) + (1 << 20)).astype(np.uint64),
+                mask[lo:hi].astype(np.uint64),
+            ],
+            axis=1,
+        )
+        # Wrapping multiply-accumulate; position-dependent by projection.
+        with np.errstate(over="ignore"):
+            h[0, lo:hi] = (rec * proj[0]).sum(axis=1, dtype=np.uint64)
+            h[1, lo:hi] = (rec * proj[1]).sum(axis=1, dtype=np.uint64)
+
+    key = h[0] ^ (h[1] << np.uint64(1))
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    first = np.empty(p, dtype=bool)
+    first[:1] = True
+    first[1:] = ks[1:] != ks[:-1]
+    group_of_sorted = np.cumsum(first) - 1
+    inverse = np.empty(p, dtype=np.int64)
+    inverse[order] = group_of_sorted
+    reps = order[first]  # one representative row per class
+
+    uniq_w = laplacian_weights_batch(rels[reps], mask[reps])
     weights = uniq_w[inverse]
     weights[~mask] = 0.0
     return weights
