@@ -45,7 +45,33 @@ __all__ = [
     "potential_spacings",
     "build_lattice",
     "find_neighbors",
+    "mirror_symmetric_filter",
 ]
+
+
+def mirror_symmetric_filter(points: np.ndarray) -> np.ndarray:
+    """Keep only points whose mirror image through the origin across every
+    axis-combination also exists in the cloud.
+
+    Standalone form of the reference's FindMirrorSymetricPoints
+    (/root/reference/Python/Irregular/symetry.py:6-36; the same idea runs
+    inline in GetNearbyPoints, IrrGrid.py:125-137): a cloud closed under all
+    sign-flip combinations has vanishing odd moments, which keeps the
+    least-squares Laplacian fit well-posed.  Vectorized: set membership via
+    byte-keyed lookup instead of the reference's O(P^2) list scans.
+    """
+    pts = np.asarray(points, dtype=np.int64)
+    nd = pts.shape[1]
+    have = {row.tobytes() for row in pts}
+    keep = np.ones(len(pts), dtype=bool)
+    for signs in itertools.product((1, -1), repeat=nd):
+        if all(s == 1 for s in signs):
+            continue
+        flipped = pts * np.asarray(signs, dtype=np.int64)
+        keep &= np.fromiter(
+            (row.tobytes() in have for row in flipped), bool, len(pts)
+        )
+    return pts[keep]
 
 
 @dataclasses.dataclass(frozen=True)
