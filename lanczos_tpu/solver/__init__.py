@@ -1,4 +1,5 @@
 from .api import eigsh
+from .restart import eigsh_restarted
 from .lanczos import LanczosFactorization, lanczos, lanczos_kernel
 from .results import EigResult, match_eigs
 from .tridiag import (

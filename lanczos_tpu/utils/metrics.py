@@ -32,6 +32,14 @@ def operator_nnz(op: LinearOperator) -> int:
             not any(o) for o in op.offsets
         )
         return m * (k + (1 if has_sep_diag else 0))
+    from ..ops.composite import CompositeOperator
+
+    if isinstance(op, CompositeOperator):
+        interior = sum(
+            lv.nbox * lv.m**3 * 27 for lv in op.levels
+        )  # stencil taps incl. center
+        ifc = int(np.count_nonzero(np.asarray(op.ifc_vals)))
+        return interior + ifc
     raise TypeError(type(op).__name__)
 
 
@@ -51,8 +59,12 @@ class MatvecStats:
         )
 
 
-def benchmark_matvec(op: LinearOperator, iters: int = 30) -> MatvecStats:
-    """Time back-to-back SpMVs in a single dispatch (fori_loop chain).
+def benchmark_matvec(op: LinearOperator, iters: int = 50) -> MatvecStats:
+    """Time back-to-back SpMVs via two-length chain differencing.
+
+    A scalar readback forces completion (``block_until_ready`` can return
+    early on tunneled TPU runtimes) and differencing two chain lengths
+    cancels fixed dispatch/readback latency — same methodology as bench.py.
 
     Effective bandwidth counts the minimum HBM traffic of a matrix-free
     stencil apply (read x, write y, read diag); for ELL operators it counts
@@ -62,19 +74,30 @@ def benchmark_matvec(op: LinearOperator, iters: int = 30) -> MatvecStats:
     dtype = op.dtype
     itemsize = jnp.dtype(dtype).itemsize
 
-    @jax.jit
-    def chain(x):
-        def body(_, v):
-            y = op.matvec(v)
-            return y / jnp.linalg.norm(y)
+    def make_chain(n):
+        @jax.jit
+        def chain(x):
+            def body(_, v):
+                return op.matvec(v) * jnp.asarray(1e-2, v.dtype)
 
-        return jax.lax.fori_loop(0, iters, body, x)
+            return jax.lax.fori_loop(0, n, body, x)
 
+        return chain
+
+    lo, hi = 5, 5 + iters
+    f_lo, f_hi = make_chain(lo), make_chain(hi)
     x = jnp.ones(m, dtype=dtype) / np.sqrt(m)
-    chain(x).block_until_ready()
-    t0 = time.perf_counter()
-    chain(x).block_until_ready()
-    per = (time.perf_counter() - t0) / iters
+    for f in (f_lo, f_hi):
+        float(f(x)[0])  # compile + warm
+
+    def once(f):
+        t0 = time.perf_counter()
+        float(f(x)[0])
+        return time.perf_counter() - t0
+
+    t_lo = min(once(f_lo) for _ in range(3))
+    t_hi = min(once(f_hi) for _ in range(3))
+    per = max((t_hi - t_lo) / (hi - lo), 1e-9)
 
     nnz = operator_nnz(op)
     if isinstance(op, EllOperator):
