@@ -20,7 +20,13 @@ The assembled operator is generally NON-symmetric (the least-squares weights
 of point i's cloud need not match point j's).  The RECOMMENDED solve path is
 solver.two_sided.two_sided_lanczos on the raw operator: its spectrum is
 clean (the pure kinetic part has smallest real eigenvalue 0, measured on the
-two-level N=60 lattice).  Symmetrizing instead introduces spurious
+two-level N=60 lattice).  NOTE on precision/depth: in fp64 (CPU) the N=60
+problem converges at n=250; in fp32 on TPU large lattices (N=120, P=272k,
+spectral radius ~1e3) need substantially deeper Krylov runs and residual
+filtering — two-sided Ritz values whose residual ||Hx - lambda x|| is not
+small are ghosts and must be discarded (use results.acceptance_inner_prod
+or an explicit residual check).  A restarted/precision-compensated
+two-sided solver is the planned cure.  Symmetrizing instead introduces spurious
 interface-localized negative eigenmodes (O(10 MeV) deep at 2:1 spacing
 contrast, worse at 4:1) because the one-sided LSQ stencils are consistent
 but not symmetric at refinement boundaries.  Options, with that caveat:
@@ -208,10 +214,11 @@ def assemble_irregular_hamiltonian_composite(
     diag = t_factor * weights.sum(axis=1)
     if potential is not None:
         phys = lat.physical_coords()
-        diag = diag + np.asarray(
-            jax.jit(potential)(*(phys[:, a] for a in range(lat.ndim))),
-            dtype=np.float64,
-        )
+        with jax.default_device(jax.devices("cpu")[0]):
+            diag = diag + np.asarray(
+                jax.jit(potential)(*(phys[:, a] for a in range(lat.ndim))),
+                dtype=np.float64,
+            )
     return build_composite(
         lat, nbrs, rels, weights, diag, scale=-t_factor, dtype=dtype
     )
@@ -246,10 +253,11 @@ def assemble_irregular_hamiltonian(
     diag = t_factor * weights.sum(axis=1)
     if potential is not None:
         phys = lat.physical_coords()
-        diag = diag + np.asarray(
-            jax.jit(potential)(*(phys[:, a] for a in range(lat.ndim))),
-            dtype=np.float64,
-        )
+        with jax.default_device(jax.devices("cpu")[0]):
+            diag = diag + np.asarray(
+                jax.jit(potential)(*(phys[:, a] for a in range(lat.ndim))),
+                dtype=np.float64,
+            )
 
     rows = np.repeat(np.arange(p, dtype=np.int64), k)[mask.reshape(-1)]
     cols = nbrs.reshape(-1)[mask.reshape(-1)]

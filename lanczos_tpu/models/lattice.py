@@ -204,7 +204,10 @@ def potential_spacings(
         grids[a][None] + off[:, a].reshape((-1,) + (1,) * ndim)
         for a in range(ndim)
     ]
-    pot = np.asarray(jax.jit(potential)(*coords), dtype=np.float64)
+    # Host-side sampling: keep this off the accelerator — on a tunneled TPU
+    # the (nb, S^nd) f64 coordinate grids would otherwise ship over the wire.
+    with jax.default_device(jax.devices("cpu")[0]):
+        pot = np.asarray(jax.jit(potential)(*coords), dtype=np.float64)
 
     e0 = np.asarray(target_energies, dtype=np.float64)
     dev = np.abs(pot[..., None] - e0)  # (nb, S..., n_e0)
