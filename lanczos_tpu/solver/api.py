@@ -50,6 +50,7 @@ def eigsh(
     ghost_filter: Optional[bool] = None,
     compute_acceptance: bool = True,
     dtype=None,
+    compensated: bool = False,
 ) -> EigResult:
     """Find k extremal eigenpairs of a symmetric operator by Lanczos.
 
@@ -78,6 +79,7 @@ def eigsh(
         reorth_passes=reorth_passes,
         reorth_period=reorth_period,
         dtype=dtype,
+        compensated=compensated,
     )
     theta, X, resid_est = ritz_from_factorization(fac)
 

@@ -83,6 +83,21 @@ def _default_basis_dot(V, v):
     return jnp.dot(V, v, precision=_PRECISION)
 
 
+def _resolve_dot(dot, compensated):
+    """Swap the default vector-vector dot for the error-free-transform one.
+
+    Compensation targets the recurrence reductions (alpha, beta, norms) whose
+    plain fp32 rounding puts a floor on achievable Ritz residuals; the reorth
+    projections stay plain matmuls (CGS2 self-corrects, and eps-level
+    orthogonality of fp32 *vectors* cannot be improved by better coefficients).
+    """
+    if compensated and dot is _default_dot:
+        from ..ops.compensated import dot2_rounded
+
+        return dot2_rounded
+    return dot
+
+
 def _orthogonalize(V, v, basis_dot, passes: int):
     """Orthogonalize v against all (zero-padded) rows of V, CGS x passes."""
     for _ in range(passes):
@@ -102,12 +117,17 @@ def lanczos_kernel(
     dot: Callable = _default_dot,
     basis_dot: Callable = _default_basis_dot,
     breakdown_tol: Optional[float] = None,
+    compensated: bool = False,
 ) -> LanczosFactorization:
     """Run n Lanczos steps from start vector v0 (need not be normalized).
 
     Pure function of jax arrays — safe to wrap in jit / shard_map.  ``n``,
-    ``reorth`` and the callables must be static.
+    ``reorth`` and the callables must be static.  ``compensated=True`` runs
+    every alpha/beta/norm reduction through the error-free-transform dot
+    (ops.compensated) — correctly rounded regardless of M, recovering the
+    fp64-reference accuracy the plain fp32 reductions lose.
     """
+    dot = _resolve_dot(dot, compensated)
     if reorth == "selective":
         return _lanczos_selective_kernel(
             matvec,
@@ -289,9 +309,13 @@ def _lanczos_selective_kernel(
 
 @partial(
     jax.jit,
-    static_argnames=("n", "reorth", "reorth_passes", "reorth_period", "dtype"),
+    static_argnames=(
+        "n", "reorth", "reorth_passes", "reorth_period", "dtype", "compensated",
+    ),
 )
-def _lanczos_jit(op, n, seed, v0, reorth, reorth_passes, reorth_period, dtype):
+def _lanczos_jit(
+    op, n, seed, v0, reorth, reorth_passes, reorth_period, dtype, compensated
+):
     m = op.shape[0]
     if v0 is None:
         # Uniform(-1, 1) start vector, mirroring the reference's choice
@@ -308,6 +332,7 @@ def _lanczos_jit(op, n, seed, v0, reorth, reorth_passes, reorth_period, dtype):
         reorth=reorth,
         reorth_passes=reorth_passes,
         reorth_period=reorth_period,
+        compensated=compensated,
     )
 
 
@@ -321,6 +346,7 @@ def lanczos(
     reorth_passes: int = 2,
     reorth_period: int = 5,
     dtype=None,
+    compensated: bool = False,
 ) -> LanczosFactorization:
     """High-level single-device entry point.
 
@@ -334,5 +360,6 @@ def lanczos(
     if dtype is None:
         dtype = op.dtype
     return _lanczos_jit(
-        op, n, seed, v0, reorth, reorth_passes, reorth_period, jnp.dtype(dtype)
+        op, n, seed, v0, reorth, reorth_passes, reorth_period,
+        jnp.dtype(dtype), compensated,
     )

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.operators import LinearOperator
-from .lanczos import _PRECISION, _default_basis_dot, _default_dot
+from .lanczos import _PRECISION, _default_basis_dot, _default_dot, _resolve_dot
 from .results import EigResult, acceptance_inner_prod
 
 __all__ = ["eigsh_restarted"]
@@ -104,11 +104,56 @@ def _cycle_kernel(
     return V, alpha, betas, u_next, beta_last
 
 
-@partial(jax.jit, static_argnames=("l", "m", "reorth_passes"))
-def _cycle_jit(op, V, u, sigma, l, m, reorth_passes):
+@partial(jax.jit, static_argnames=("l", "m", "reorth_passes", "compensated"))
+def _cycle_jit(op, V, u, sigma, l, m, reorth_passes, compensated=False):
     return _cycle_kernel(
-        op.matvec, V, u, sigma, l, m, reorth_passes=reorth_passes
+        op.matvec, V, u, sigma, l, m, reorth_passes=reorth_passes,
+        dot=_resolve_dot(_default_dot, compensated),
     )
+
+
+@jax.jit
+def _rayleigh_ritz_refine(op, X):
+    """Rayleigh–Ritz on the explicit subspace X (M, k): the op-aware correction.
+
+    In fp32 the thick-restart *model* (arrowhead + tridiagonal) drifts away
+    from the true operator as lock-time rounding accumulates across cycles:
+    the model's residual estimate keeps shrinking (observed 1e-11) while the
+    true residual ||A x - theta x|| stalls near 5e-4, and the model eigenvalue
+    can be off by ~1e-4 (measured on the N=32 deuteron).  Projecting A onto
+    the computed subspace and re-solving the small (k, k) problem removes the
+    drift entirely: eigenvalues become Rayleigh quotients (accurate to
+    eps * ||A||) and residuals are measured against A itself.
+
+    Returns (S, G, W): the projected operator X^T A X, the Gram matrix X^T X,
+    and W = A X (reused for the true residuals — no extra matvecs).
+    """
+    W = op.matmat(X)
+    S = jnp.dot(X.T, W, precision=_PRECISION)
+    G = jnp.dot(X.T, X, precision=_PRECISION)
+    return S, G, W
+
+
+def _refine_host(op, X):
+    """Host-side finish of the Rayleigh–Ritz refinement in fp64.
+
+    Returns (lam (k,), Xr (M, k), true_resid (k,), Wr (M, k) = A Xr), lam
+    ascending, Xr columns normalized.
+    """
+    import scipy.linalg
+
+    S, G, W = _rayleigh_ritz_refine(op, X)
+    S64 = np.asarray(S, np.float64)
+    G64 = np.asarray(G, np.float64)
+    lam, Z = scipy.linalg.eigh((S64 + S64.T) / 2, (G64 + G64.T) / 2)
+    Zj = jnp.asarray(Z, X.dtype)
+    Xr = jnp.dot(X, Zj, precision=_PRECISION)
+    Wr = jnp.dot(W, Zj, precision=_PRECISION)
+    R = Wr - Xr * jnp.asarray(lam, X.dtype)[None, :]
+    nrm = jnp.sqrt(jnp.sum(Xr * Xr, axis=0))
+    inv = jnp.where(nrm > 0, 1.0 / jnp.where(nrm > 0, nrm, 1.0), 0.0)
+    resid = jnp.sqrt(jnp.sum(R * R, axis=0)) * inv
+    return lam, Xr * inv[None, :], np.asarray(resid, np.float64), Wr * inv[None, :]
 
 
 @partial(jax.jit, static_argnames=("l",))
@@ -138,6 +183,7 @@ def eigsh_restarted(
     v0: Optional[jax.Array] = None,
     dtype=None,
     reorth_passes: int = 2,
+    compensated: bool = False,
     verbose: bool = False,
 ) -> EigResult:
     """Thick-restart Lanczos for the k extremal eigenpairs.
@@ -146,6 +192,10 @@ def eigsh_restarted(
     n_locked:  Ritz vectors carried across restarts (default k + 10).
     tol:       relative residual |beta_m y_i[m]| / |theta_i| threshold.
     which:     "SA" (smallest algebraic) or "LA".
+    compensated: run alpha/beta/norm reductions through the error-free-
+               transform dot (ops.compensated) — removes the fp32 reduction
+               floor on large M at negligible cost (the reductions are
+               bandwidth-bound).
     """
     if which not in ("SA", "LA"):
         raise ValueError("which must be SA or LA")
@@ -167,10 +217,13 @@ def eigsh_restarted(
     theta = np.zeros(0)
     l = 0
     history = []
+    refined = None  # best (lam, Xr, true_resid) seen so far
+    best_rel = np.inf
 
     for cycle in range(max_cycles):
         V, alpha, beta, u, beta_last = _cycle_jit(
-            op, V, u, jnp.asarray(sigma, dtype), l, m, reorth_passes
+            op, V, u, jnp.asarray(sigma, dtype), l, m, reorth_passes,
+            compensated,
         )
         # Projected matrix: arrowhead(theta, sigma) + tridiag(alpha, beta).
         B = np.zeros((m, m))
@@ -206,16 +259,53 @@ def eigsh_restarted(
         theta = w_all[:l_new]
         sigma = bl * y_all[m - 1, :l_new]
         l = l_new
-        if converged:
-            break
+        if not converged:
+            continue
 
-    X = np.asarray(V[:k]).T  # (M, k) locked Ritz vectors, already normalized
-    vals = jnp.asarray(theta[:k])
-    vecs = jnp.asarray(X, dtype=dtype)
+        # The cheap estimate says converged — verify against the operator
+        # itself.  In fp32 the arrowhead model drifts from A as lock-time
+        # rounding accumulates: the model residual keeps shrinking while the
+        # TRUE residual ||A x - theta x|| stalls, and the model eigenvalue
+        # can be off by ~1e-4 (measured, N=32 deuteron).  Rayleigh-Ritz
+        # refinement on the locked block removes the drift.
+        lam, Xr, tres, Wr = _refine_host(op, V[:k].T)
+        order = np.argsort(lam) if which == "SA" else np.argsort(-lam)
+        oj = jnp.asarray(order)
+        lam, tres = lam[order], tres[order]
+        Xr, Wr = Xr[:, oj], Wr[:, oj]
+        trel = tres / np.maximum(np.abs(lam), 1e-30)
+        worst = float(trel.max())
+        if verbose:
+            print(f"  refine: lam[0]={lam[0]:.10g} max-true-rel-resid={worst:.2e}")
+        improved = worst < best_rel / 1.3
+        if refined is None or worst < best_rel:
+            refined, best_rel = (lam, Xr, tres), worst
+        if (trel < tol).all() or not improved:
+            # Converged against A itself, or hit the precision floor of the
+            # working dtype (further cycles measured not to help).
+            break
+        # Not truly converged: anchor the locked block to the refined
+        # eigenpairs (better vectors AND an honest model) and keep cycling.
+        V = V.at[:k].set(Xr.T)
+        theta = np.concatenate([lam, theta[k:]])
+        sigma_k = np.asarray(
+            jnp.dot(Wr.T, u, precision=_PRECISION), np.float64
+        )  # sigma_i = x_i^T A u = (A x_i)^T u for the refreshed locked rows
+        sigma = np.concatenate([sigma_k, np.asarray(sigma, np.float64)[k:]])
+
+    if refined is None:
+        lam, Xr, tres, _ = _refine_host(op, V[:k].T)
+        order = np.argsort(lam) if which == "SA" else np.argsort(-lam)
+        lam, tres = lam[order], tres[order]
+        Xr = Xr[:, jnp.asarray(order)]
+        refined = (lam, Xr, tres)
+    lam, Xr, tres = refined
+    vals = jnp.asarray(lam)
+    vecs = jnp.asarray(Xr, dtype=dtype)
     inner = acceptance_inner_prod(op, vecs)
     return EigResult(
         eigenvalues=vals,
         eigenvectors=vecs,
-        residuals=jnp.asarray(resid[:k]),
+        residuals=jnp.asarray(tres),
         inner_prod=inner,
     )
