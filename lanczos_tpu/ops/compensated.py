@@ -79,10 +79,18 @@ def two_prod(a, b):
 
 
 def dd_add(a_hi, a_lo, b_hi, b_lo):
-    """Double-word + double-word addition (accurate variant, Joldes et al. 2017)."""
+    """Double-word + double-word addition, ACCURATE variant (AccurateDWPlusDW,
+    Joldes, Muller & Popescu 2017, Algorithm 6): both the hi and lo pairs go
+    through exact two_sum before renormalization, so the low-order word
+    survives even under heavy hi-word cancellation at a tree node (the sloppy
+    variant — a single two_sum with the lo parts added in plain fp — loses it
+    there, weakening the worst-case bound)."""
     s, e = two_sum(a_hi, b_hi)
-    e = e + (a_lo + b_lo)
-    return quick_two_sum(s, e)
+    t, f = two_sum(a_lo, b_lo)
+    c = e + t
+    v, w = quick_two_sum(s, c)
+    z = w + f
+    return quick_two_sum(v, z)
 
 
 def dd_sum_tree(hi, lo):

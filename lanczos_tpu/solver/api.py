@@ -60,6 +60,10 @@ def eigsh(
     ``ghost_filter`` defaults to True when reorthogonalization is not "full"
     (without full reorth, spurious copies of converged eigenvalues appear and
     must be filtered by the Cullum–Willoughby test).
+
+    ``compensated=True`` runs the recurrence's alpha/beta/norm reductions
+    through the error-free-transform dot (ops.compensated), removing the
+    plain-fp32 reduction floor on large M at negligible bandwidth cost.
     """
     op = as_operator(A)
     m = op.shape[0]

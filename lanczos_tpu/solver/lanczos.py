@@ -36,7 +36,12 @@ import numpy as np
 
 from ..ops.operators import LinearOperator
 
-__all__ = ["LanczosFactorization", "lanczos", "lanczos_kernel"]
+__all__ = [
+    "LanczosFactorization",
+    "lanczos",
+    "lanczos_kernel",
+    "lanczos_segment",
+]
 
 
 @jax.tree_util.register_dataclass
@@ -91,10 +96,19 @@ def _resolve_dot(dot, compensated):
     projections stay plain matmuls (CGS2 self-corrects, and eps-level
     orthogonality of fp32 *vectors* cannot be improved by better coefficients).
     """
-    if compensated and dot is _default_dot:
-        from ..ops.compensated import dot2_rounded
+    if compensated:
+        if dot is _default_dot:
+            from ..ops.compensated import dot2_rounded
 
-        return dot2_rounded
+            return dot2_rounded
+        import warnings
+
+        warnings.warn(
+            "compensated=True has no effect when a custom dot is supplied "
+            "(e.g. the sharded psum dot); compensation applies only to the "
+            "default dot",
+            stacklevel=3,
+        )
     return dot
 
 
@@ -104,6 +118,83 @@ def _orthogonalize(V, v, basis_dot, passes: int):
         coeff = basis_dot(V, v)  # (n,)
         v = v - jnp.dot(coeff, V, precision=_PRECISION)
     return v
+
+
+def lanczos_segment(
+    matvec: Callable,
+    V: jax.Array,
+    r: jax.Array,
+    alpha_h: jax.Array,
+    beta_h: jax.Array,
+    breakdown_iter: jax.Array,
+    j0: int,
+    j1: int,
+    *,
+    reorth: str = "full",
+    reorth_passes: int = 2,
+    reorth_period: int = 5,
+    dot: Callable = _default_dot,
+    basis_dot: Callable = _default_basis_dot,
+    breakdown_tol: Optional[float] = None,
+    compensated: bool = False,
+):
+    """Run Lanczos steps j0..j1-1 from a warm state (the restartable core).
+
+    ``V`` (n, M) holds rows [0, j0); ``r`` is the current unnormalized
+    residual; ``alpha_h`` (n,) / ``beta_h`` (n-1,) are the histories filled
+    up to j0.  Returns the advanced (V, r, alpha_h, beta_h, breakdown_iter).
+    Both ``lanczos_kernel`` and the checkpointing driver
+    (utils.checkpoint.lanczos_checkpointed) run THIS function, so the two
+    paths cannot drift.
+    """
+    dot = _resolve_dot(dot, compensated)
+    dtype = r.dtype
+    if breakdown_tol is None:
+        breakdown_tol = float(10 * np.finfo(np.dtype(dtype)).eps)
+
+    def norm(x):
+        return jnp.sqrt(dot(x, x))
+
+    def reorth_step(V, v):
+        v = _orthogonalize(V, v, basis_dot, reorth_passes)
+        nrm = norm(v)
+        return v * jnp.where(nrm > 0, 1.0 / nrm, 0.0)
+
+    def step(carry, j):
+        V, r, alpha_h, beta_h, breakdown_iter = carry
+        beta = norm(r)
+        # Scale-aware breakdown test: beta relative to typical basis scale (=1).
+        ok = beta > breakdown_tol
+        breakdown_iter = jnp.where(
+            ok, breakdown_iter, jnp.minimum(breakdown_iter, j)
+        )
+        v = r * jnp.where(ok, 1.0 / jnp.where(ok, beta, 1.0), 0.0)
+
+        if reorth == "full":
+            v = reorth_step(V, v)
+        elif reorth == "periodic":
+            v = jax.lax.cond(
+                (j % reorth_period) == 0,
+                lambda args: reorth_step(*args),
+                lambda args: args[1],
+                (V, v),
+            )
+
+        V = jax.lax.dynamic_update_slice_in_dim(V, v[None, :], j, axis=0)
+        v_prev = jax.lax.dynamic_index_in_dim(V, j - 1, axis=0, keepdims=False)
+        w = matvec(v)
+        alpha = dot(v, w)
+        r = w - alpha * v - beta * v_prev
+        alpha_h = alpha_h.at[j].set(alpha)
+        beta_h = beta_h.at[j - 1].set(beta)
+        return (V, r, alpha_h, beta_h, breakdown_iter), None
+
+    (V, r, alpha_h, beta_h, breakdown_iter), _ = jax.lax.scan(
+        step,
+        (V, r, alpha_h, beta_h, breakdown_iter),
+        jnp.arange(j0, j1, dtype=jnp.int32),
+    )
+    return V, r, alpha_h, beta_h, breakdown_iter
 
 
 def lanczos_kernel(
@@ -142,8 +233,6 @@ def lanczos_kernel(
         raise ValueError(f"unknown reorth strategy: {reorth!r}")
     m = v0.shape[0]
     dtype = v0.dtype
-    if breakdown_tol is None:
-        breakdown_tol = float(10 * np.finfo(np.dtype(dtype)).eps)
 
     def norm(x):
         return jnp.sqrt(dot(x, x))
@@ -154,47 +243,28 @@ def lanczos_kernel(
     alpha0 = dot(v0, w)
     r = w - alpha0 * v0
 
-    def reorth_step(V, v):
-        v = _orthogonalize(V, v, basis_dot, reorth_passes)
-        nrm = norm(v)
-        v = v * jnp.where(nrm > 0, 1.0 / nrm, 0.0)
-        return v
-
-    def step(carry, j):
-        V, r, breakdown_iter = carry
-        beta = norm(r)
-        # Scale-aware breakdown test: beta relative to typical basis scale (=1).
-        ok = beta > breakdown_tol
-        breakdown_iter = jnp.where(
-            ok, breakdown_iter, jnp.minimum(breakdown_iter, j)
-        )
-        v = r * jnp.where(ok, 1.0 / jnp.where(ok, beta, 1.0), 0.0)
-
-        if reorth == "full":
-            v = reorth_step(V, v)
-        elif reorth == "periodic":
-            v = jax.lax.cond(
-                (j % reorth_period) == 0,
-                lambda args: reorth_step(*args),
-                lambda args: args[1],
-                (V, v),
-            )
-
-        V = jax.lax.dynamic_update_slice_in_dim(V, v[None, :], j, axis=0)
-        v_prev = jax.lax.dynamic_index_in_dim(V, j - 1, axis=0, keepdims=False)
-        w = matvec(v)
-        alpha = dot(v, w)
-        r = w - alpha * v - beta * v_prev
-        return (V, r, breakdown_iter), (alpha, beta)
-
-    init = (V, r, jnp.asarray(n, dtype=jnp.int32))
-    (V, r, breakdown_iter), (alphas, betas) = jax.lax.scan(
-        step, init, jnp.arange(1, n, dtype=jnp.int32)
+    alpha_h = jnp.zeros(n, dtype=dtype).at[0].set(alpha0)
+    beta_h = jnp.zeros(max(n - 1, 0), dtype=dtype)
+    # ``dot`` is already compensation-resolved above — pass compensated=False.
+    V, r, alpha_h, beta_h, breakdown_iter = lanczos_segment(
+        matvec,
+        V,
+        r,
+        alpha_h,
+        beta_h,
+        jnp.asarray(n, dtype=jnp.int32),
+        1,
+        n,
+        reorth=reorth,
+        reorth_passes=reorth_passes,
+        reorth_period=reorth_period,
+        dot=dot,
+        basis_dot=basis_dot,
+        breakdown_tol=breakdown_tol,
+        compensated=False,
     )
-
-    alpha = jnp.concatenate([alpha0[None], alphas])
     return LanczosFactorization(
-        alpha=alpha, beta=betas, V=V, resid=r, breakdown_iter=breakdown_iter
+        alpha=alpha_h, beta=beta_h, V=V, resid=r, breakdown_iter=breakdown_iter
     )
 
 

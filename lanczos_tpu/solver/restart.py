@@ -145,7 +145,20 @@ def _refine_host(op, X):
     S, G, W = _rayleigh_ritz_refine(op, X)
     S64 = np.asarray(S, np.float64)
     G64 = np.asarray(G, np.float64)
-    lam, Z = scipy.linalg.eigh((S64 + S64.T) / 2, (G64 + G64.T) / 2)
+    Ssym, Gsym = (S64 + S64.T) / 2, (G64 + G64.T) / 2
+    try:
+        lam, Z = scipy.linalg.eigh(Ssym, Gsym)
+    except np.linalg.LinAlgError:
+        # G not numerically positive definite (near-dependent locked vectors,
+        # e.g. after breakdown or k near the numerical rank).  Degrade
+        # gracefully: Cholesky-regularize G with a small diagonal shift
+        # scaled to its trace; fall back to the unweighted projected problem
+        # if even that fails.
+        shift = 1e-6 * max(np.trace(Gsym) / max(len(Gsym), 1), 1e-30)
+        try:
+            lam, Z = scipy.linalg.eigh(Ssym, Gsym + shift * np.eye(len(Gsym)))
+        except np.linalg.LinAlgError:
+            lam, Z = scipy.linalg.eigh(Ssym)
     Zj = jnp.asarray(Z, X.dtype)
     Xr = jnp.dot(X, Zj, precision=_PRECISION)
     Wr = jnp.dot(W, Zj, precision=_PRECISION)
@@ -185,6 +198,8 @@ def eigsh_restarted(
     reorth_passes: int = 2,
     compensated: bool = False,
     verbose: bool = False,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 1,
 ) -> EigResult:
     """Thick-restart Lanczos for the k extremal eigenpairs.
 
@@ -196,6 +211,11 @@ def eigsh_restarted(
                transform dot (ops.compensated) — removes the fp32 reduction
                floor on large M at negligible cost (the reductions are
                bandwidth-bound).
+    checkpoint_path: if given, the run checkpoints at cycle boundaries (every
+               ``checkpoint_every`` cycles) and resumes from the file when it
+               exists.  Cycle state is only the locked block + restart vector
+               ((l+1, M) — NOT the full (m+1, M) basis), the natural unit for
+               k=100-class runs.
     """
     if which not in ("SA", "LA"):
         raise ValueError("which must be SA or LA")
@@ -219,8 +239,24 @@ def eigsh_restarted(
     history = []
     refined = None  # best (lam, Xr, true_resid) seen so far
     best_rel = np.inf
+    cycle0 = 0
 
-    for cycle in range(max_cycles):
+    if checkpoint_path is not None:
+        import os
+
+        from ..utils.checkpoint import load_restart_state, save_restart_state
+
+        if os.path.exists(checkpoint_path):
+            V_locked, u_np, theta, sigma_np, cycle0 = load_restart_state(
+                checkpoint_path
+            )
+            l = V_locked.shape[0]
+            V = V.at[:l].set(jnp.asarray(V_locked, dtype=dtype))
+            u = jnp.asarray(u_np, dtype=dtype)
+            sigma = jnp.asarray(sigma_np, dtype)
+            theta = np.asarray(theta, np.float64)
+
+    for cycle in range(cycle0, max_cycles):
         V, alpha, beta, u, beta_last = _cycle_jit(
             op, V, u, jnp.asarray(sigma, dtype), l, m, reorth_passes,
             compensated,
@@ -259,6 +295,10 @@ def eigsh_restarted(
         theta = w_all[:l_new]
         sigma = bl * y_all[m - 1, :l_new]
         l = l_new
+        if checkpoint_path is not None and (cycle + 1) % checkpoint_every == 0:
+            save_restart_state(
+                checkpoint_path, V[:l], u, theta, sigma, cycle + 1
+            )
         if not converged:
             continue
 

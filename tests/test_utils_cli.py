@@ -66,6 +66,89 @@ def test_checkpoint_resume_matches_uninterrupted(rng, tmp_path):
     )
 
 
+def test_checkpoint_incremental_dir_layout(rng, tmp_path):
+    """The directory layout appends only new basis rows per segment and
+    resumes to the same factorization as the legacy full-file layout."""
+    m, n = 200, 60
+    a = random_sparse_symmetric(rng, m)
+    op = ell_from_scipy(a, dtype=np.float64)
+
+    fac_straight = lanczos_checkpointed(
+        op, n, str(tmp_path / "straight.npz"), every=n, seed=5, dtype="float64"
+    )
+
+    d = str(tmp_path / "ckptdir")
+    fac_inc = lanczos_checkpointed(
+        op, n, d, every=17, seed=5, dtype="float64"
+    )
+    # Incremental segments on disk: one V_*.npy per segment + meta.npz.
+    segs = sorted(f for f in os.listdir(d) if f.startswith("V_"))
+    assert segs == [
+        "V_000000_000001.npy", "V_000001_000018.npy", "V_000018_000035.npy",
+        "V_000035_000052.npy", "V_000052_000060.npy",
+    ]
+    np.testing.assert_allclose(
+        np.asarray(fac_inc.alpha), np.asarray(fac_straight.alpha), rtol=1e-12
+    )
+
+    # Resume mid-run: rewind meta to j=35 (keeping the row files) and rerun.
+    from lanczos_tpu.utils.checkpoint import _load_incremental, _save_incremental
+
+    V, r, alpha, beta, j = _load_incremental(d, n, m)
+    # Re-derive the j=35 state by truncation (rows >= 35 zeroed, histories cut)
+    # — this is exactly what a crash between segments leaves behind, because
+    # meta.npz is replaced atomically after the row file.
+    d2 = str(tmp_path / "ckptdir2")
+    fac_pre = lanczos_checkpointed(
+        op, 35, d2, every=17, seed=5, dtype="float64"
+    )
+    # Graft the 35-step state into a fresh n=60 directory and resume.
+    d3 = str(tmp_path / "ckptdir3")
+    V35 = np.zeros((n, m))
+    V35[:35] = np.asarray(fac_pre.V)
+    al = np.zeros(n); al[:35] = np.asarray(fac_pre.alpha)
+    be = np.zeros(n - 1); be[:34] = np.asarray(fac_pre.beta)
+    _save_incremental(d3, V35, np.asarray(fac_pre.resid), al, be, 0, 35)
+    fac_res = lanczos_checkpointed(op, n, d3, every=17, dtype="float64")
+    np.testing.assert_allclose(
+        np.asarray(fac_res.alpha), np.asarray(fac_straight.alpha), rtol=1e-10
+    )
+
+
+def test_restart_checkpoint_resume(rng, tmp_path):
+    """eigsh_restarted resumes from a cycle-boundary checkpoint and still
+    converges to the oracle spectrum."""
+    import scipy.sparse.linalg
+
+    from lanczos_tpu.solver.restart import eigsh_restarted
+
+    m, k = 400, 4
+    a = random_sparse_symmetric(rng, m)
+    op = ell_from_scipy(a, dtype=np.float64)
+    ckpt = str(tmp_path / "restart.npz")
+
+    # Phase 1: run only 2 cycles (not converged), checkpointing each cycle.
+    r1 = eigsh_restarted(
+        op, k=k, tol=1e-10, max_cycles=2, max_basis=20, seed=3,
+        dtype="float64", checkpoint_path=ckpt,
+    )
+    assert os.path.exists(ckpt)
+    from lanczos_tpu.utils.checkpoint import load_restart_state
+
+    _, _, _, _, cyc = load_restart_state(ckpt)
+    assert cyc == 2
+
+    # Phase 2: resume and run to convergence.
+    r2 = eigsh_restarted(
+        op, k=k, tol=1e-10, max_cycles=60, max_basis=20, seed=3,
+        dtype="float64", checkpoint_path=ckpt,
+    )
+    exact = np.sort(scipy.sparse.linalg.eigsh(a, k=k, which="SA")[0])
+    np.testing.assert_allclose(np.sort(np.asarray(r2.eigenvalues)), exact,
+                               rtol=1e-8, atol=1e-8)
+    assert float(np.max(np.asarray(r2.residuals))) < 1e-7
+
+
 def test_checkpoint_agrees_with_scan_kernel(rng, tmp_path):
     """Segmented solver and the one-shot scan kernel produce the same
     spectrum (implementations differ, math must not)."""
