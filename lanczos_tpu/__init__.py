@@ -42,6 +42,7 @@ from .models.irr_hamiltonian import (
     assemble_irregular_hamiltonian_composite,
 )
 from .solver.two_sided import two_sided_eigs, two_sided_lanczos
+from .solver.arnoldi import arnoldi, eigs_nonsym
 from .models.potentials import (
     DEUTERON_REDUCED_REST_ENERGY_MEV,
     HBAR_C_MEV_FM,

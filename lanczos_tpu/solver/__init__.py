@@ -15,3 +15,4 @@ from .two_sided import (
     two_sided_lanczos,
 )
 from .block import BlockLanczosFactorization, block_lanczos, block_ritz
+from .arnoldi import ArnoldiFactorization, arnoldi, eigs_nonsym

@@ -10,10 +10,18 @@ Recurrence (same math as the reference's loop at IrrLanczos.py:125-144):
     s = A^T p_j - beta_{j-1}  p_{j-1}
     alpha_j = (p_j.r + q_j.s)/2
     r -= alpha_j q_j ; s -= alpha_j p_j
-    w_j = r.s ; beta_j = sqrt|w_j| ; gamma_j = w_j / beta_j
-    q_{j+1} = r/beta_j ; p_{j+1} = s/gamma_j
+    w_j = r.s ; q_{j+1} = r/beta_j ; p_{j+1} = s/gamma_j
 
 Differences from the reference (intentional, documented in SURVEY.md quirks):
+  * SCALING: the reference splits w symmetrically (beta = sqrt|w|,
+    gamma = w/beta, IrrLanczos.py:141-142), which balances |beta| = |gamma|
+    but leaves the VECTOR norms unconstrained — ||q_j||, ||p_j|| drift
+    multiplicatively (measured ~13 per iteration on the N=60 deuteron
+    lattice) until w = r.s overflows fp32 near iteration 100.  Here
+    beta = ||r|| (so ||q|| = 1 always) and gamma = w/beta (so p.q = 1);
+    ||p|| = 1/cos(angle(r, s)) is bounded by the local biorthogonality
+    condition number instead of growing without bound.  T is similar to the
+    reference's via a diagonal scaling — same Ritz values.
   * serious breakdown (w ~ 0, IrrLanczos.py:140-142 unhandled there) is
     detected and the iteration index recorded;
   * the projected matrix T has beta on the subdiagonal and gamma on the
@@ -21,11 +29,16 @@ Differences from the reference (intentional, documented in SURVEY.md quirks):
     H_eff[i, i+1], IrrLanczos.py:174 — an off-by-one);
   * eigensolve of T: when beta_i * gamma_i > 0 for all i, T is similar to a
     symmetric tridiagonal via a diagonal scaling (off-diag sqrt(beta*gamma)),
-    solved on-device with eigh — the reference applies np.linalg.eigh
+    solved with eigh_tridiagonal — the reference applies np.linalg.eigh
     directly to the NON-symmetric T (IrrLanczos.py:291), which is only valid
     in that same regime but silently wrong otherwise;
   * two-sided full rebiorthogonalization is expressed as batched matmuls
-    against the stored bases (the MXU form of IrrLanczos.py:389-443).
+    against the stored bases (the MXU form of IrrLanczos.py:389-443);
+  * per-iteration health telemetry (biorthogonality drift + recurrence
+    residual, the reference's color-coded columns at IrrLanczos.py:147-160)
+    is recorded INSIDE the scan as stacked outputs and summarized by
+    ``TwoSidedFactorization.health_report`` — the scan-compiled loop cannot
+    print, but the user gets the same per-iteration numbers after the fact.
 """
 
 from __future__ import annotations
@@ -39,6 +52,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.operators import LinearOperator
+from .results import EigResult
 
 __all__ = [
     "TwoSidedFactorization",
@@ -54,8 +68,13 @@ class TwoSidedFactorization:
     """Biorthogonal factorization: A Q.T ~ Q.T T,  A.T P.T ~ P.T T.T.
 
     alpha (n,), beta (n-1,) subdiag, gamma (n-1,) superdiag;
-    Q, P: (n, M) right/left Lanczos vectors (rows), P.T Q ~ I.
+    Q, P: (n, M) right/left Lanczos vectors (rows), P.T Q ~ I, ||q_j|| = 1.
     breakdown_iter: first j where |w_j| underflowed (n if none).
+    biorth_drift (n,): per-iteration max |P_basis . q_new| BEFORE the new
+    pair is stored (0 where not measured) — the reference's in-loop
+    biorthogonality diagnostic (IrrLanczos.py:152-160).
+    p_norm (n,): ||p_j|| — the local oblique condition number (1/cos angle);
+    a blow-up here flags imminent breakdown.
     """
 
     alpha: jax.Array
@@ -64,10 +83,36 @@ class TwoSidedFactorization:
     Q: jax.Array
     P: jax.Array
     breakdown_iter: jax.Array
+    biorth_drift: jax.Array
+    p_norm: jax.Array
 
     @property
     def n(self) -> int:
         return self.alpha.shape[0]
+
+    def health_report(self, good: float = None, warn: float = None) -> str:
+        """Per-iteration health table (parity with the reference's in-loop
+        color-coded diagnostics, IrrLanczos.py:147-160): biorthogonality
+        drift thresholded good/warn/fail, plus the oblique condition ||p||.
+
+        Default thresholds scale the reference's fp64 values (1e-12 / 1e-6)
+        by eps(dtype)/eps(fp64).
+        """
+        eps = float(np.finfo(np.asarray(self.alpha).dtype).eps)
+        scale = eps / float(np.finfo(np.float64).eps)
+        good = 1e-12 * scale if good is None else good
+        warn = 1e-6 * scale if warn is None else warn
+        drift = np.asarray(self.biorth_drift)
+        pn = np.asarray(self.p_norm)
+        bki = int(self.breakdown_iter)
+        lines = ["iter  biorth-drift  ||p||      status"]
+        for j in range(self.n):
+            d = drift[j]
+            status = "ok" if d < good else ("WARN" if d < warn else "FAIL")
+            if j >= bki:
+                status = "post-breakdown"
+            lines.append(f"{j:4d}  {d:11.3e}  {pn[j]:9.3e}  {status}")
+        return "\n".join(lines)
 
 
 _PRECISION = jax.lax.Precision.HIGHEST
@@ -85,38 +130,53 @@ def two_sided_lanczos_kernel(
     n: int,
     *,
     reorth: bool = True,
+    reorth_passes: int = 2,
     dot: Callable = _default_dot,
     basis_dot: Callable = None,
     breakdown_tol: Optional[float] = None,
+    compensated: bool = False,
 ) -> TwoSidedFactorization:
-    """Pure two-sided Lanczos kernel (jit/shard_map safe)."""
+    """Pure two-sided Lanczos kernel (jit/shard_map safe).
+
+    ``compensated=True`` routes the scalar reductions (w, alpha, norms)
+    through the error-free-transform dot (ops.compensated) — in fp32 the
+    plain reductions over large M are what first corrupt the recurrence.
+    """
+    if compensated:
+        from ..ops.compensated import dot2_rounded
+
+        dot = dot2_rounded
     if basis_dot is None:
         basis_dot = lambda B, v: jnp.dot(B, v, precision=_PRECISION)
     m = v0.shape[0]
     dtype = v0.dtype
     if breakdown_tol is None:
+        # |w| = |r.s| relative to ||r|| ||s||: cos of the oblique angle.
         breakdown_tol = float(100 * np.finfo(np.dtype(dtype)).eps)
 
-    # Biorthogonal init: scale the pair so p0.q0 = +-1 (IrrLanczos.py:106-108).
-    d = dot(v0, w0)
-    scale = jnp.sqrt(jnp.abs(d))
-    q0 = v0 / scale
-    p0 = w0 / scale * jnp.sign(d)
+    def norm(x):
+        return jnp.sqrt(dot(x, x))
+
+    # Biorthogonal init: q0 unit norm, p0 scaled so p0.q0 = 1.
+    q0 = v0 / norm(v0)
+    d = dot(q0, w0)
+    p0 = w0 / d
 
     Q = jnp.zeros((n, m), dtype=dtype).at[0].set(q0)
     P = jnp.zeros((n, m), dtype=dtype).at[0].set(p0)
 
     def biorth(Q, P, r, s):
-        """One pass of two-sided Gram-Schmidt: r ⊥ rows(P), s ⊥ rows(Q) in the
+        """Two-sided Gram-Schmidt: r ⊥ rows(P), s ⊥ rows(Q) in the
         biorthogonal sense: r -= Q.T (P r), s -= P.T (Q s).
 
         Rows beyond the current iteration are zero and contribute nothing.
         Assumes P.T Q ~ I on the filled rows (maintained inductively).
         """
-        cr = basis_dot(P, r)  # (n,)
-        r = r - jnp.dot(cr, Q, precision=_PRECISION)
-        cs = basis_dot(Q, s)
-        s = s - jnp.dot(cs, P, precision=_PRECISION)
+        for _ in range(reorth_passes):
+            cr = basis_dot(P, r)  # (n,)
+            r = r - jnp.dot(cr, Q, precision=_PRECISION)
+            cs = basis_dot(Q, s)
+            s = s - jnp.dot(cs, P, precision=_PRECISION)
         return r, s
 
     r0 = matvec(q0)
@@ -130,16 +190,26 @@ def two_sided_lanczos_kernel(
         if reorth:
             r, s = biorth(Q, P, r, s)
         w = dot(r, s)
-        ok = jnp.abs(w) > breakdown_tol
+        rn = norm(r)
+        sn = norm(s)
+        # Breakdown when r.s ~ 0 RELATIVE to ||r|| ||s|| (oblique angle ~ 90
+        # degrees), or when either residual vanishes (invariant subspace —
+        # benign termination).
+        denom = rn * sn
+        ok = (jnp.abs(w) > breakdown_tol * denom) & (denom > 0)
         breakdown_iter = jnp.where(
             ok, breakdown_iter, jnp.minimum(breakdown_iter, j)
         )
-        w_safe = jnp.where(ok, w, 1.0)
-        beta = jnp.sqrt(jnp.abs(w_safe))
-        gamma = w_safe / beta
+        beta = jnp.where(ok, rn, 1.0)
+        gamma = jnp.where(ok, w, 1.0) / beta
         okf = ok.astype(r.dtype)
-        q = r / beta * okf
-        p = s / gamma * okf
+        q = r / beta * okf  # unit norm
+        p = s / gamma * okf  # p.q = 1
+
+        # Health telemetry: drift of the new right vector against the left
+        # basis (should be ~0 rows < j), and the oblique condition ||p||.
+        drift = jnp.max(jnp.abs(basis_dot(P, q)))
+        pn = sn / jnp.abs(gamma) * okf
 
         Q = jax.lax.dynamic_update_slice_in_dim(Q, q[None, :], j, axis=0)
         P = jax.lax.dynamic_update_slice_in_dim(P, p[None, :], j, axis=0)
@@ -151,13 +221,15 @@ def two_sided_lanczos_kernel(
         alpha = (dot(p, r) + dot(q, s)) / 2.0
         r = r - alpha * q
         s = s - alpha * p
-        return (Q, P, r, s, breakdown_iter), (alpha, beta, gamma)
+        return (Q, P, r, s, breakdown_iter), (alpha, beta, gamma, drift, pn)
 
     init = (Q, P, r, s, jnp.asarray(n, dtype=jnp.int32))
-    (Q, P, r, s, breakdown_iter), (alphas, betas, gammas) = jax.lax.scan(
-        scan_step, init, jnp.arange(1, n, dtype=jnp.int32)
+    (Q, P, r, s, breakdown_iter), (alphas, betas, gammas, drifts, pns) = (
+        jax.lax.scan(scan_step, init, jnp.arange(1, n, dtype=jnp.int32))
     )
     alpha = jnp.concatenate([alpha0[None], alphas])
+    zero = jnp.zeros((1,), dtype=dtype)
+    one = jnp.ones((1,), dtype=dtype)
     return TwoSidedFactorization(
         alpha=alpha,
         beta=betas,
@@ -165,18 +237,24 @@ def two_sided_lanczos_kernel(
         Q=Q,
         P=P,
         breakdown_iter=breakdown_iter,
+        biorth_drift=jnp.concatenate([zero, drifts]),
+        p_norm=jnp.concatenate([one * jnp.sqrt(dot(p0, p0)), pns]),
     )
 
 
-@partial(jax.jit, static_argnames=("n", "reorth", "dtype"))
-def _two_sided_jit(op, op_t, n, seed, reorth, dtype):
+@partial(
+    jax.jit,
+    static_argnames=("n", "reorth", "reorth_passes", "dtype", "compensated"),
+)
+def _two_sided_jit(op, op_t, n, seed, reorth, reorth_passes, dtype, compensated):
     m = op.shape[0]
     k0, k1 = jax.random.split(jax.random.PRNGKey(seed))
     v0 = jax.random.uniform(k0, (m,), dtype=dtype, minval=-1.0, maxval=1.0)
     w0 = jax.random.uniform(k1, (m,), dtype=dtype, minval=-1.0, maxval=1.0)
     rmatvec = op_t.matvec if op_t is not None else op.rmatvec
     return two_sided_lanczos_kernel(
-        op.matvec, rmatvec, v0, w0, n, reorth=reorth
+        op.matvec, rmatvec, v0, w0, n,
+        reorth=reorth, reorth_passes=reorth_passes, compensated=compensated,
     )
 
 
@@ -186,30 +264,63 @@ def two_sided_lanczos(
     *,
     seed: int = 99,
     reorth: bool = True,
+    reorth_passes: int = 2,
     op_transpose: Optional[LinearOperator] = None,
     dtype=None,
+    compensated: bool = False,
 ) -> TwoSidedFactorization:
     """Run n two-sided Lanczos steps on a (generally non-symmetric) operator.
 
     ``op_transpose``: optional explicit A^T operator (e.g. a materialized
     EllOperator transpose) — faster than scatter-based ``rmatvec``.
+    ``compensated``: error-free-transform scalar reductions (fp32 rescue).
     """
     if n > op.shape[0]:
         raise ValueError("n cannot exceed operator dimension")
     if dtype is None:
         dtype = op.dtype
-    return _two_sided_jit(op, op_transpose, n, seed, reorth, jnp.dtype(dtype))
+    return _two_sided_jit(
+        op, op_transpose, n, seed, reorth, reorth_passes, jnp.dtype(dtype),
+        compensated,
+    )
 
 
-def two_sided_eigs(fac: TwoSidedFactorization, k: Optional[int] = None):
+def _true_residuals(op, vals, X):
+    """Relative true residuals ||A x - lam x|| / (||x|| max(|lam|, 1)) for
+    real Ritz pairs, evaluated in batch through op.matmat."""
+    Xj = jnp.asarray(np.ascontiguousarray(X), dtype=op.dtype)
+    W = np.asarray(op.matmat(Xj), dtype=np.float64)
+    R = W - X * vals[None, :]
+    xn = np.linalg.norm(X, axis=0)
+    return np.linalg.norm(R, axis=0) / np.maximum(xn, 1e-300) / np.maximum(
+        np.abs(vals), 1.0
+    )
+
+
+def two_sided_eigs(
+    fac: TwoSidedFactorization,
+    k: Optional[int] = None,
+    *,
+    op: Optional[LinearOperator] = None,
+    residual_tol: Optional[float] = None,
+):
     """Ritz values/right-vectors from a two-sided factorization.
 
     Truncates the projected tridiagonal at the serious-breakdown iteration
     (w_j ~ 0): iterations past breakdown carry no information (the look-ahead
-    cure of papers/50-FreGutNac93-SISC14.pdf is future work; the reference
-    iterates straight through breakdown, IrrLanczos.py:140-142).
+    cure of papers/50-FreGutNac93-SISC14.pdf is in look_ahead.py; the
+    reference iterates straight through breakdown, IrrLanczos.py:140-142).
 
-    Returns (vals (j,), X (M, j)) sorted by ascending real part.
+    With ``op=None`` (legacy): returns (vals (j,), X (M, j)) sorted by
+    ascending real part — no residuals, caller must filter ghosts.
+
+    With ``op`` given: computes TRUE relative residuals ||A x - lam x|| /
+    (||x|| max(|lam|,1)) against the operator itself, drops complex pairs
+    and every pair with residual > ``residual_tol`` (default 1e-3), and
+    returns an EigResult (eigenvalues, eigenvectors, residuals, inner_prod)
+    of the survivors — ghosts never reach the user (the reference's manual
+    print_good_eigs step, IrrLanczos.py:331-353, made automatic).  ``k``
+    then caps the number of ACCEPTED pairs.
     """
     j = min(int(fac.breakdown_iter), fac.n)
     alpha = np.asarray(fac.alpha)[:j]
@@ -217,9 +328,37 @@ def two_sided_eigs(fac: TwoSidedFactorization, k: Optional[int] = None):
     gamma = np.asarray(fac.gamma)[: j - 1]
     vals, w = nonsymmetric_tridiag_eig(alpha, beta, gamma)
     x = np.asarray(fac.Q)[:j].T @ w  # right Ritz vectors
+    if op is None:
+        if k is not None:
+            vals, x = vals[:k], x[:, :k]
+        return vals, x
+
+    if residual_tol is None:
+        residual_tol = 1e-3
+    # Complex pairs: on these near-symmetric problems genuine eigenvalues
+    # are real; complex Ritz values are breakdown artifacts.  Keep a pair
+    # only if its imaginary part is negligible against its magnitude.
+    real_ok = np.abs(vals.imag) <= 1e-8 * np.maximum(np.abs(vals.real), 1.0)
+    vals_r = vals.real[real_ok]
+    x_r = np.ascontiguousarray(x[:, real_ok].real)
+    resid = _true_residuals(op, vals_r, x_r)
+    keep = resid < residual_tol
+    vals_r, x_r, resid = vals_r[keep], x_r[:, keep], resid[keep]
+    order = np.argsort(vals_r)
+    vals_r, x_r, resid = vals_r[order], x_r[:, order], resid[order]
     if k is not None:
-        vals, x = vals[:k], x[:, :k]
-    return vals, x
+        vals_r, x_r, resid = vals_r[:k], x_r[:, :k], resid[:k]
+    nrm = np.linalg.norm(x_r, axis=0)
+    x_r = x_r / np.where(nrm > 0, nrm, 1.0)
+    from .results import acceptance_inner_prod
+
+    vecs = jnp.asarray(x_r, dtype=op.dtype)
+    return EigResult(
+        eigenvalues=jnp.asarray(vals_r),
+        eigenvectors=vecs,
+        residuals=jnp.asarray(resid),
+        inner_prod=acceptance_inner_prod(op, vecs),
+    )
 
 
 def nonsymmetric_tridiag_eig(
@@ -248,8 +387,10 @@ def nonsymmetric_tridiag_eig(
         off = np.sqrt(prod)
         # D with D[0]=1, D[i+1] = D[i] * sqrt(gamma_i / beta_i):
         # (D T D^-1)_{i,i+1} = gamma_i * D_i/D_{i+1} = sqrt(beta*gamma) = off.
-        ratio = np.sqrt(gamma / beta)
-        d = np.concatenate([[1.0], np.cumprod(ratio)])
+        # Guard the cumprod against overflow by working in log space.
+        logd = np.concatenate([[0.0], np.cumsum(0.5 * (np.log(np.abs(gamma)) - np.log(np.abs(beta))))])
+        logd -= logd.max()
+        d = np.exp(logd)
         vals, vecs_sym = scipy.linalg.eigh_tridiagonal(alpha, off)
         vecs = vecs_sym / d[:, None]  # right eigvecs of T: T (D^-1 u) = lam (D^-1 u)
         vecs = vecs / np.linalg.norm(vecs, axis=0, keepdims=True)
