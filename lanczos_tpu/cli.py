@@ -85,28 +85,69 @@ def cmd_solve_irregular(args):
     print(f"# lattice: {lat.num_points} points "
           f"(fine grid {args.N}^3 = {args.N**3}), spacings "
           f"{sorted(set(lat.spacings.tolist()))}")
-    h = lt.assemble_irregular_hamiltonian(
-        lat, lt.deuteron_potential_3d,
-        symmetrize=args.symmetrize if args.symmetrize != "none" else None,
-        dtype=args.dtype,
-    )
     if args.symmetrize == "none":
-        fac = lt.two_sided_lanczos(
-            h, args.n, seed=args.seed, op_transpose=h.transpose(),
+        if args.solver == "krylov-schur":
+            # The robust fp32 path (solver/arnoldi.py): Krylov-Schur on the
+            # raw non-symmetric operator, verified against true residuals.
+            # On TPU, run it on the composite operator (stencil-speed SpMV);
+            # its vectors live in level-major order — permute back for
+            # saving.
+            perm = None
+            if jax.default_backend() != "cpu":
+                from lanczos_tpu.models.irr_hamiltonian import (
+                    assemble_irregular_hamiltonian_composite,
+                )
+
+                op, perm = assemble_irregular_hamiltonian_composite(
+                    lat, lt.deuteron_potential_3d, dtype=args.dtype
+                )
+            else:
+                op = lt.assemble_irregular_hamiltonian(
+                    lat, lt.deuteron_potential_3d, symmetrize=None,
+                    dtype=args.dtype,
+                )
+            res = lt.eigs_nonsym(
+                op, k=args.k, max_basis=args.n, tol=args.tol,
+                seed=args.seed, dtype=args.dtype,
+                compensated=args.compensated, verbose=args.verbose,
+            )
+            jax.block_until_ready(res.eigenvalues)
+            print(f"# Krylov-Schur (Arnoldi), basis {args.n}, "
+                  f"{time.time()-t0:.1f}s on {jax.default_backend()}")
+            print(res.summary(print_nr=args.k))
+            if args.out:
+                from lanczos_tpu.utils.io import save_eigpairs
+
+                vecs = np.asarray(res.eigenvectors)
+                if perm is not None:
+                    back = np.empty_like(vecs)
+                    back[perm] = vecs
+                    vecs = back
+                save_eigpairs(args.out, res.eigenvalues, vecs)
+        else:
+            h = lt.assemble_irregular_hamiltonian(
+                lat, lt.deuteron_potential_3d, symmetrize=None,
+                dtype=args.dtype,
+            )
+            fac = lt.two_sided_lanczos(
+                h, args.n, seed=args.seed, op_transpose=h.transpose(),
+                dtype=args.dtype, compensated=args.compensated,
+            )
+            res = lt.two_sided_eigs(fac, k=args.k, op=h, residual_tol=args.tol)
+            print(f"# two-sided Lanczos, breakdown at "
+                  f"{int(fac.breakdown_iter)}/{args.n}, "
+                  f"max biorth drift {float(np.max(np.asarray(fac.biorth_drift))):.2e}, "
+                  f"{time.time()-t0:.1f}s")
+            print(res.summary(print_nr=args.k))
+            if args.out:
+                from lanczos_tpu.utils.io import save_eigpairs
+
+                save_eigpairs(args.out, res.eigenvalues, res.eigenvectors)
+    else:
+        h = lt.assemble_irregular_hamiltonian(
+            lat, lt.deuteron_potential_3d, symmetrize=args.symmetrize,
             dtype=args.dtype,
         )
-        vals, x = lt.two_sided_eigs(fac, k=args.k)
-        order = np.argsort(vals.real)[: args.k]
-        print(f"# two-sided Lanczos, breakdown at "
-              f"{int(fac.breakdown_iter)}/{args.n}, {time.time()-t0:.1f}s")
-        print(f"{'Eigval (Re)':>14} {'Im':>10}")
-        for i in order:
-            print(f"{vals[i].real:14.6f} {vals[i].imag:10.2e}")
-        if args.out:
-            from lanczos_tpu.utils.io import save_eigpairs
-
-            save_eigpairs(args.out, vals[order], x[:, order])
-    else:
         res = lt.eigsh(
             h, k=args.k, n=args.n, which="SA", seed=args.seed,
             dtype=args.dtype,
@@ -175,6 +216,15 @@ def main(argv=None):
                    help="debug spacings: 2 everywhere, 1 in center box")
     p.add_argument("--symmetrize", default="none",
                    choices=["none", "average", "volume", "normal"])
+    p.add_argument("--solver", default="krylov-schur",
+                   choices=["krylov-schur", "two-sided"],
+                   help="krylov-schur (robust, fp32-safe) or the "
+                        "reference-parity two-sided biorthogonal Lanczos")
+    p.add_argument("--tol", type=float, default=1e-4,
+                   help="true relative residual acceptance threshold")
+    p.add_argument("--compensated", action="store_true",
+                   help="error-free-transform scalar reductions")
+    p.add_argument("--verbose", action="store_true")
     _add_common(p)
     p.set_defaults(fn=cmd_solve_irregular)
 

@@ -36,7 +36,13 @@ import numpy as np
 
 from .operators import LinearOperator
 
-__all__ = ["CompositeOperator", "build_composite"]
+__all__ = [
+    "CompositeOperator",
+    "build_composite",
+    "ShardedComposite",
+    "ShardedCompositeOperator",
+    "shard_composite",
+]
 
 
 @jax.tree_util.register_dataclass
@@ -423,3 +429,334 @@ def _block_ell_buckets(ifc_rows, cols, vals, emask, dtype, max_buckets=4):
             )
         )
     return tuple(buckets)
+
+
+# ---------------------------------------------------------------------------
+# Sharded composite: row-partitioned multi-level operator for shard_map.
+#
+# Partition rule: each level's box stack is split CONTIGUOUSLY across the D
+# mesh devices (padded with ghost boxes so every device holds c_l =
+# ceil(nbox_l / D) boxes per level); the global vector layout is
+# device-major — device d owns one contiguous (P_loc,) slice holding its
+# boxes of every level.  Cross-device halo exchange rides ONE all_gather of
+# a per-box FACE TABLE per level: each box publishes its 6 face planes
+# (6 m^2 elements, the 7-14% boundary fraction of notes.tex:332 in array
+# form); every face/edge/corner halo slab any neighbor needs is a static
+# slice of one published face.  Interface rows are applied from their
+# owning device via the same bucketed block-ELL gathers against an
+# all-gathered x (their support is sparse but global).
+
+_FACE_SPECS = (
+    # (axis of xl sliced, index) for faces 0..5: x-min, x-max, y-min, y-max,
+    # z-min, z-max.  xl axes are (box, z, y, x).
+    (3, 0),
+    (3, -1),
+    (2, 0),
+    (2, -1),
+    (1, 0),
+    (1, -1),
+)
+
+
+def _face_pack(xl: jax.Array) -> jax.Array:
+    """(nbox, m, m, m) -> (nbox, 6, m, m): the 6 face planes of every box."""
+    faces = []
+    for ax, idx in _FACE_SPECS:
+        faces.append(jax.lax.index_in_dim(xl, idx % xl.shape[ax], axis=ax,
+                                          keepdims=False))
+    return jnp.stack(faces, axis=1)
+
+
+def _halo_pad_from_faces(
+    xl: jax.Array, adj: jax.Array, faces_g: jax.Array
+) -> jax.Array:
+    """(c, m, m, m) -> (c, m+2, m+2, m+2) with halos from a global face table.
+
+    ``adj[b, d]``: LEVEL-GLOBAL rank of box b's neighbor in direction d (-1
+    when the neighbor has a different spacing).  ``faces_g``:
+    (nbox_pad, 6, m, m) all-gathered face table in global rank order.
+    """
+    c, m = xl.shape[0], xl.shape[1]
+    out = jnp.zeros((c, m + 2, m + 2, m + 2), xl.dtype)
+    out = out.at[:, 1:-1, 1:-1, 1:-1].set(xl)
+
+    def tgt(dcomp):
+        if dcomp == 1:
+            return slice(m + 1, m + 2)
+        if dcomp == -1:
+            return slice(0, 1)
+        return slice(1, m + 1)
+
+    def src(dcomp):
+        # neighbor plane nearest to me: +1 dir -> its min plane (index 0)
+        if dcomp == 1:
+            return slice(0, 1)
+        if dcomp == -1:
+            return slice(m - 1, m)
+        return slice(0, m)
+
+    for d, (dx, dy, dz) in enumerate(_DIRS):
+        nbr = adj[:, d]
+        valid = (nbr >= 0).astype(xl.dtype)[:, None, None, None]
+        safe = jnp.maximum(nbr, 0)
+        if dx != 0:
+            fidx = 0 if dx == 1 else 1
+            face = jnp.take(faces_g[:, fidx], safe, axis=0)  # (c, z, y)
+            slab = face[:, src(dz), :][:, :, src(dy)][:, :, :, None]
+        elif dy != 0:
+            fidx = 2 if dy == 1 else 3
+            face = jnp.take(faces_g[:, fidx], safe, axis=0)  # (c, z, x)
+            slab = face[:, src(dz), :][:, :, None, :]
+        else:
+            fidx = 4 if dz == 1 else 5
+            face = jnp.take(faces_g[:, fidx], safe, axis=0)  # (c, y, x)
+            slab = face[:, None, :, :]
+        out = out.at[:, tgt(dz), tgt(dy), tgt(dx)].set(slab * valid)
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedComposite:
+    """Host-side container of the device-major sharded composite.
+
+    All device-leading arrays are FLAT over devices (first dim D*<local>) so
+    shard_map's PartitionSpec can split them; ``local_matvec`` is the SPMD
+    body closure.  ``P_loc`` is the per-device vector length; the global
+    sharded vector is (D * P_loc,).  ``to_sharded``/``from_sharded`` map
+    level-major composite vectors into/out of the sharded layout.
+    """
+
+    num_devices: int
+    P_loc: int
+    # static per-level: (c_local_boxes, m, start_local_offset)
+    level_meta: Tuple[Tuple[int, int, int], ...]
+    level_adj: Tuple[jax.Array, ...]  # each (D*c_l, 26) int32, level-global
+    level_weights: Tuple[jax.Array, ...]  # each (27,) replicated
+    diag: jax.Array  # (D*P_loc,)
+    keep: jax.Array  # (D*P_loc,) 1 except interface rows & ghost slots
+    ifc_rows: jax.Array  # (D*R,) LOCAL row ids (0 for padding)
+    ifc_blk_ids: jax.Array  # (D*R, B) into the padded global block table
+    ifc_blk_w: jax.Array  # (D*R, B, IFC_W)
+    idx_map: np.ndarray  # level-major index -> sharded global index
+
+    @property
+    def shape(self):
+        p = self.diag.shape[0]
+        return (p, p)
+
+    @property
+    def dtype(self):
+        return self.diag.dtype
+
+    def to_sharded(self, x_levelmajor: np.ndarray) -> np.ndarray:
+        out = np.zeros(self.num_devices * self.P_loc, x_levelmajor.dtype)
+        out[self.idx_map] = x_levelmajor
+        return out
+
+    def from_sharded(self, x_sharded: np.ndarray) -> np.ndarray:
+        return np.asarray(x_sharded)[self.idx_map]
+
+    def live_mask(self) -> np.ndarray:
+        """1.0 on live slots, 0.0 on ghost padding (mask start vectors with
+        this: ghost components would otherwise ride along in the basis as
+        spurious null-space directions)."""
+        live = np.zeros(self.num_devices * self.P_loc, dtype=np.float64)
+        live[self.idx_map] = 1.0
+        return live
+
+    def as_operator(self, mesh, axis_name: str = "rows") -> "ShardedCompositeOperator":
+        op = ShardedCompositeOperator(
+            diag=self.diag,
+            keep=self.keep,
+            ifc_rows=self.ifc_rows,
+            ifc_blk_ids=self.ifc_blk_ids,
+            ifc_blk_w=self.ifc_blk_w,
+            level_adj=tuple(self.level_adj),
+            level_weights=tuple(self.level_weights),
+            level_meta=self.level_meta,
+            mesh=mesh,
+            axis_name=axis_name,
+        )
+        object.__setattr__(op, "host", self)  # host-side maps (not a pytree leaf)
+        return op
+
+
+def shard_composite(comp: CompositeOperator, num_devices: int) -> ShardedComposite:
+    """Re-partition a CompositeOperator for a D-device row mesh.
+
+    Boxes of each level are split contiguously over devices (ghost-padded to
+    equal counts); the returned object's vector layout is device-major (see
+    ShardedComposite).  Numerically identical to ``comp`` on live slots.
+    """
+    D = num_devices
+    levels = comp.levels
+    p = comp.diag.shape[0]
+
+    cs = [int(np.ceil(lv.nbox / D)) for lv in levels]
+    p_loc = int(sum(c * lv.m**3 for c, lv in zip(cs, levels)))
+    start_loc = np.concatenate(
+        [[0], np.cumsum([c * lv.m**3 for c, lv in zip(cs, levels)])]
+    ).astype(np.int64)
+
+    # level-major -> sharded index map
+    idx_map = np.empty(p, dtype=np.int64)
+    for lv, c, sl in zip(levels, cs, start_loc[:-1]):
+        n = lv.nbox * lv.m**3
+        i = np.arange(n, dtype=np.int64)
+        b = i // lv.m**3
+        o = i % lv.m**3
+        d = b // c
+        r = b % c
+        idx_map[lv.start + i] = d * p_loc + sl + r * lv.m**3 + o
+
+    dtype = np.asarray(comp.diag).dtype
+    diag_s = np.zeros(D * p_loc, dtype=dtype)
+    diag_s[idx_map] = np.asarray(comp.diag)
+    keep_s = np.zeros(D * p_loc, dtype=dtype)
+    keep_s[idx_map] = 1.0
+    ifc_rows_lm = np.asarray(comp.ifc_rows, dtype=np.int64)
+    if len(ifc_rows_lm):
+        keep_s[idx_map[ifc_rows_lm]] = 0.0
+
+    # per-level adjacency, ghost-padded to (D*c, 26); ids stay level-global
+    level_adj = []
+    for lv, c in zip(levels, cs):
+        adj = np.full((D * c, 26), -1, dtype=np.int32)
+        adj[: lv.nbox] = np.asarray(lv.adjacency)
+        level_adj.append(jnp.asarray(adj))
+
+    # interface rows: map ids, group by owning device, single padded bucket
+    if len(ifc_rows_lm):
+        rows_s = idx_map[ifc_rows_lm]
+        cols_s = idx_map[np.asarray(comp.ifc_cols, dtype=np.int64)]
+        vals = np.asarray(comp.ifc_vals, dtype=np.float64)
+        emask = np.zeros_like(vals, dtype=bool)
+        emask[:, 0] = True  # diagonal column always real
+        emask[:, 1:] = vals[:, 1:] != 0
+        blk_ids_all, blk_w_all, nblk = _block_ell(cols_s, vals, emask)
+        owner = rows_s // p_loc
+        local_row = rows_s % p_loc
+        rmax = max(int(np.bincount(owner, minlength=D).max()), 1)
+        bmax = blk_ids_all.shape[1]
+        rows_out = np.zeros((D, rmax), dtype=np.int32)
+        blk_out = np.zeros((D, rmax, bmax), dtype=np.int64)
+        w_out = np.zeros((D, rmax, bmax, IFC_W), dtype=np.float64)
+        for d in range(D):
+            sel = np.nonzero(owner == d)[0]
+            rows_out[d, : len(sel)] = local_row[sel]
+            blk_out[d, : len(sel)] = blk_ids_all[sel]
+            w_out[d, : len(sel)] = blk_w_all[sel]
+        ifc_rows = jnp.asarray(rows_out.reshape(-1))
+        ifc_blk_ids = jnp.asarray(blk_out.reshape(D * rmax, bmax), dtype=jnp.int32)
+        ifc_blk_w = jnp.asarray(w_out.reshape(D * rmax, bmax, IFC_W), dtype=dtype)
+    else:
+        ifc_rows = jnp.zeros(D, dtype=jnp.int32)
+        ifc_blk_ids = jnp.zeros((D, 1), dtype=jnp.int32)
+        ifc_blk_w = jnp.zeros((D, 1, IFC_W), dtype=dtype)
+
+    return ShardedComposite(
+        num_devices=D,
+        P_loc=p_loc,
+        level_meta=tuple(
+            (c, lv.m, int(sl)) for c, lv, sl in zip(cs, levels, start_loc[:-1])
+        ),
+        level_adj=tuple(level_adj),
+        level_weights=tuple(lv.weights for lv in levels),
+        diag=jnp.asarray(diag_s),
+        keep=jnp.asarray(keep_s),
+        ifc_rows=ifc_rows,
+        ifc_blk_ids=ifc_blk_ids,
+        ifc_blk_w=ifc_blk_w,
+        idx_map=idx_map,
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedCompositeOperator(LinearOperator):
+    """LinearOperator facade over a ShardedComposite: matvec on GLOBAL
+    (D*P_loc,) device-major vectors, SPMD body via shard_map.
+
+    Composes with jit (shard_map nests inside it), so the standard solvers
+    (solver.arnoldi.eigs_nonsym, solver.lanczos) run unchanged: their dense
+    basis algebra partitions automatically under GSPMD once V/x carry the
+    row sharding, while the matvec's halo structure runs through the
+    explicit collectives here (all-gathered face tables + psum-free local
+    stencils).
+    """
+
+    diag: jax.Array
+    keep: jax.Array
+    ifc_rows: jax.Array
+    ifc_blk_ids: jax.Array
+    ifc_blk_w: jax.Array
+    level_adj: Tuple[jax.Array, ...]
+    level_weights: Tuple[jax.Array, ...]
+    level_meta: Tuple[Tuple[int, int, int], ...] = dataclasses.field(
+        metadata=dict(static=True)
+    )
+    mesh: jax.sharding.Mesh = dataclasses.field(metadata=dict(static=True))
+    axis_name: str = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def shape(self):
+        p = self.diag.shape[0]
+        return (p, p)
+
+    @property
+    def dtype(self):
+        return self.diag.dtype
+
+    def matvec(self, x):
+        from jax.sharding import PartitionSpec as P
+
+        row = P(self.axis_name)
+        row2 = P(self.axis_name, None)
+        row3 = P(self.axis_name, None, None)
+        meta = self.level_meta
+        axis_name = self.axis_name
+
+        def body(diag_l, keep_l, rows, blk_ids, blk_w, adjs, weights, x_local):
+            y = diag_l * x_local
+            for (c, m, sl), adj, w in zip(meta, adjs, weights):
+                n = c * m**3
+                xl = jax.lax.slice_in_dim(x_local, sl, sl + n).reshape(
+                    c, m, m, m
+                )
+                faces = _face_pack(xl)
+                faces_g = jax.lax.all_gather(faces, axis_name, tiled=True)
+                hal = _halo_pad_from_faces(xl, adj, faces_g)
+                t = _stencil27(hal, w)
+                y = y.at[sl : sl + n].add(t.reshape(-1))
+            y = y * keep_l
+            x_full = jax.lax.all_gather(x_local, axis_name, tiled=True)
+            pad = (-x_full.shape[0]) % IFC_W
+            if pad:
+                x_full = jnp.pad(x_full, (0, pad))
+            xb = x_full.reshape(-1, IFC_W)
+            g = xb[blk_ids]
+            contrib = jnp.einsum("rbw,rbw->r", blk_w, g)
+            y = y.at[rows].add(contrib)
+            return y
+
+        mapped = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(
+                row, row, row, row2, row3,
+                tuple(row2 for _ in self.level_adj),
+                tuple(P() for _ in self.level_weights),
+                row,
+            ),
+            out_specs=row,
+            check_vma=False,
+        )
+        return mapped(
+            self.diag, self.keep, self.ifc_rows, self.ifc_blk_ids,
+            self.ifc_blk_w, tuple(self.level_adj),
+            tuple(self.level_weights), x,
+        )
+
+    def matmat(self, X):
+        cols = [self.matvec(X[:, i]) for i in range(X.shape[1])]
+        return jnp.stack(cols, axis=1)

@@ -123,6 +123,15 @@ def shard_operator(op: LinearOperator, mesh: jax.sharding.Mesh, axis_name: str =
             grid_shape=op.grid_shape,
             offsets=op.offsets,
         )
+    from ..ops.composite import CompositeOperator, shard_composite
+
+    if isinstance(op, CompositeOperator):
+        # Boxes of every level re-partitioned device-major (ghost-padded);
+        # NOTE the returned operator's vector layout differs from the
+        # input's level-major layout — use ``.host.to_sharded`` /
+        # ``.host.from_sharded`` (and ``.host.idx_map``) to translate.
+        sc = shard_composite(op, mesh.shape[axis_name])
+        return sc.as_operator(mesh, axis_name)
     raise TypeError(f"cannot shard operator of type {type(op).__name__}")
 
 

@@ -331,6 +331,25 @@ def eigs_nonsym(
     u = (v0 / jnp.linalg.norm(v0)).astype(dtype)
     V = jnp.zeros((m + 1, mdim), dtype=dtype).at[0].set(u)
     B = jnp.zeros((m + 1, m), dtype=dtype)
+
+    # Row-sharded operators (ops.composite.ShardedCompositeOperator): the
+    # matvec runs through its own shard_map; the dense basis algebra here
+    # partitions automatically under GSPMD once V/u carry the row sharding.
+    # Ghost slots (box padding) must stay exactly zero in the start vector.
+    from ..ops.composite import ShardedCompositeOperator
+
+    if isinstance(op, ShardedCompositeOperator):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        host = getattr(op, "host", None)
+        if host is not None:
+            u = u * jnp.asarray(host.live_mask(), dtype=dtype)
+            u = u / jnp.linalg.norm(u)
+            V = V.at[0].set(u)
+        sh_row = NamedSharding(op.mesh, PartitionSpec(op.axis_name))
+        sh_mat = NamedSharding(op.mesh, PartitionSpec(None, op.axis_name))
+        u = jax.device_put(u, sh_row)
+        V = jax.device_put(V, sh_mat)
     l = 0
     best = None
     best_worst = np.inf
@@ -384,11 +403,15 @@ def eigs_nonsym(
             worst = float(tres.max())
             if verbose:
                 print(f"  verify: max-true-rel-resid={worst:.2e}")
-            if worst < best_worst:
-                best, best_worst = (vals[:k].real.copy(), Xk.copy(), tres), worst
-                stall = 0
+            if worst < best_worst / 1.2:
+                stall = 0  # meaningful improvement; noise-level wiggles
+                # below 1.2x must not reset the stall counter (measured:
+                # the N=120 fp32 run re-verified an unchanged 3.8e-4 five
+                # times before this damping).
             else:
                 stall += 1
+            if worst < best_worst:
+                best, best_worst = (vals[:k].real.copy(), Xk.copy(), tres), worst
             if worst < tol or stall >= 2:
                 break
 
