@@ -8,16 +8,27 @@ x through VMEM exactly once:
 
 * :func:`stencil_spmv_pallas` — periodic 3D stencil + diagonal SpMV.  The
   grid iterates over z-slabs.  Each program sees a Tz-plane body block of x
-  plus two single-plane periodic halo blocks (the same x array passed with
-  modular ``index_map``s — no extra HBM copies), applies every stencil tap
+  plus two periodic halo blocks (the same x array passed with modular
+  ``index_map``s — no extra HBM copies), applies every stencil tap
   as a static z-slice + in-plane ``pltpu.roll``, adds the diagonal term,
-  and writes one Tz-plane slab of y.  HBM traffic is ~(1+2/Tz) reads of x
+  and writes one Tz-plane slab of y.  HBM traffic is ~(1+2h/Tz) reads of x
   + 1 read of diag + 1 write of y per SpMV — the bandwidth floor for this
   op — and Pallas double-buffers all blocks automatically.
 
 * :func:`stencil_spmm_pallas` — the same kernel applied per column of a
   Krylov block (SpMM for block Lanczos, SURVEY.md §7.7).  Each column call
   is individually HBM-bound, so sequencing them loses nothing.
+
+LAYOUT MATTERS (measured on v5e, N=160^3 fp32): the kernel's internal
+layout is 2D "flat-plane" (nz, ny*nx) when nx is not lane-aligned.  A
+caller handing the kernel a FLAT (M,) vector forces a tiled-layout
+conversion: done at the XLA level (x.reshape before pallas_call) it
+materializes through HBM and costs ~50 us per SpMV; done INSIDE the kernel
+(1D blocks reshaped in VMEM) it costs ~25 us.  Callers that carry their
+vectors in ``StencilOperator.vec_shape`` skip both: ~100 us vs 125/149 us
+per SpMV.  The solvers (solver.lanczos / solver.restart) therefore carry
+vec_shape-shaped vectors; foreign 1D vectors still work through the
+in-kernel reshape path.
 
 Both kernels are exact drop-ins for ``StencilOperator.matvec`` /
 ``.matmat`` and are validated against them in tests (CPU interpret mode)
@@ -39,6 +50,7 @@ __all__ = [
     "stencil_spmv_pallas",
     "stencil_spmm_pallas",
     "pallas_supported",
+    "pallas_vec_shape",
 ]
 
 
@@ -68,27 +80,42 @@ def _pick_tz(nz: int, plane_elems: int, itemsize: int) -> int:
     return tz
 
 
-def _stencil_kernel_body(
-    *refs,
-    offsets: Tuple[Tuple[int, int, int], ...],
-    has_diag: bool,
-):
-    """One grid step: produce y planes [b*tz, (b+1)*tz) from a haloed slab.
+def _layout(grid_shape, dtype):
+    """Static layout decision: (flat, tz, halo_h, block_rest).
 
-    Stencil weights arrive as a traced SMEM vector (not baked constants) so
-    the kernel stays usable under an outer jit where the operator's weight
-    array is a tracer, and so one compilation serves any weight values.
+    Lane-alignment-driven: when nx is not a multiple of the 128-lane tile
+    but the whole plane is, the flattened-plane layout avoids padded DMA
+    tiles (~6x on the N=160 flagship, measured on v5e).  The flat layout is
+    2D, so every block's last two dims must be (8k, 128k)-aligned: tz and
+    the halo blocks become multiples of 8.
     """
-    if has_diag:
-        w_ref, body_ref, top_ref, bot_ref, diag_ref, y_ref = refs
-    else:
-        w_ref, body_ref, top_ref, bot_ref, y_ref = refs
-        diag_ref = None
+    nz, ny, nx = grid_shape
+    itemsize = jnp.dtype(dtype).itemsize
+    flat = (nx % 128 != 0) and ((ny * nx) % 128 == 0) and nz % 8 == 0
+    if flat:
+        plane_bytes = ny * nx * itemsize
+        cap = max(int((_FLAT_VMEM_MB * 2**20 / plane_bytes - 48) // 8), 8)
+        tz = 8
+        for cand in range(8, min(nz, cap) + 1, 8):
+            if nz % cand == 0:
+                tz = cand
+        return True, tz, 8, (ny * nx,)
+    return False, _pick_tz(nz, ny * nx, itemsize), 1, (ny, nx)
 
-    body = body_ref[...]  # (tz, ny, nx): x planes [b*tz, b*tz + tz)
-    top = top_ref[...]  # (1, ny, nx):  x plane  (b*tz - 1) mod nz
-    bot = bot_ref[...]  # (1, ny, nx):  x plane  (b*tz + tz) mod nz
-    slab = jnp.concatenate([top, body, bot], axis=0)  # (tz+2, ny, nx)
+
+def pallas_vec_shape(grid_shape, dtype) -> Tuple[int, ...]:
+    """The vector shape the kernel wants its operands in (see module doc)."""
+    flat, _, _, block_rest = _layout(grid_shape, dtype)
+    return (grid_shape[0], *block_rest)
+
+
+# ---------------------------------------------------------------------------
+# Kernel math on loaded arrays (shared by the shaped-ref and flat-ref paths)
+
+
+def _math_3d(w_ref, body, top, bot, diag, offsets):
+    """3D-layout tap accumulation.  body (tz, ny, nx); top/bot (1, ny, nx)."""
+    slab = jnp.concatenate([top, body, bot], axis=0)
     tz = body.shape[0]
 
     # Apply every tap: static z-slice of the slab + in-plane rolls.  Group
@@ -114,9 +141,9 @@ def _stencil_kernel_body(
             part = pltpu.roll(part, shift=(-dx) % nx, axis=2)
         acc = part if acc is None else acc + part
 
-    if has_diag:
-        acc = acc + diag_ref[...] * body
-    y_ref[...] = acc
+    if diag is not None:
+        acc = acc + diag * body
+    return acc
 
 
 def _roll_flat_x(part, dx: int, nx: int, col_x):
@@ -137,14 +164,19 @@ def _graded_flat(slab, body, w0, w1, w2, w3, ny: int, nx: int, col_x):
 
     For weights that depend only on the count of nonzero offset components
     (the 27-point Laplacian ladder, reference weights at
-    Regular/Hamiltonian.py:116-128):
+    Regular/Hamiltonian.py:116-128), with S_a = shift_{+1} + shift_{-1}
+    along axis a, group by Sx and use [Sz, Sx] = 0 to apply the EXPENSIVE
+    operator (Sx: misaligned lane rotates + a wrap-column fix on the flat
+    plane; Sy is one plane-periodic aligned roll pair, Sz is free slab
+    slices) exactly ONCE:
 
-        y = A + Sx B,   A = w0 x + w1 (Sy+Sz) x + w2 SySz x,
-                        B = w1 x + w2 (Sy+Sz) x + w3 SySz x,
+        y  = w0 x + w1 Sy x + Sz D + Sx (D|body + Sz U)
+        D  = w1 x + w2 Sy x          (needed on all slab rows)
+        U  = w2 x + w3 Sy x
 
-    where S_a = shift_{+1} + shift_{-1} along axis a.  This costs ~26 VPU
-    passes instead of ~75 for the general 27-tap accumulation chain — the
-    kernel is VPU-bound, so this is ~2x on the flagship problem.
+    The kernel is VMEM-bandwidth-bound; this form materializes one fewer
+    rolled operand than the two-branch a/b form (4 misaligned x-rolls
+    instead of 8).
     """
     tz = body.shape[0]
     p_plane = body.shape[1]
@@ -152,69 +184,50 @@ def _graded_flat(slab, body, w0, w1, w2, w3, ny: int, nx: int, col_x):
     def roll_y(a, dy):
         return pltpu.roll(a, shift=(-dy * nx) % p_plane, axis=1)
 
-    c1 = slab[0:tz] + slab[2 : tz + 2]  # Sz x
-    g01 = roll_y(body, 1) + roll_y(body, -1)  # Sy x
-    g11 = roll_y(c1, 1) + roll_y(c1, -1)  # Sy Sz x
-    mid = g01 + c1
-    a = w0 * body + w1 * mid + w2 * g11
-    b = w1 * body + w2 * mid + w3 * g11
-    return a + _roll_flat_x(b, 1, nx, col_x) + _roll_flat_x(b, -1, nx, col_x)
+    sy = roll_y(slab, 1) + roll_y(slab, -1)  # Sy x on slab rows
+    d = w1 * slab + w2 * sy
+    u = w2 * slab + w3 * sy
+    c = d[1 : tz + 1] + u[0:tz] + u[2 : tz + 2]  # D|body + Sz U
+    sxc = _roll_flat_x(c, 1, nx, col_x) + _roll_flat_x(c, -1, nx, col_x)
+    return (
+        w0 * body
+        + w1 * sy[1 : tz + 1]
+        + d[0:tz]
+        + d[2 : tz + 2]
+        + sxc
+    )
 
 
-def _stencil_kernel_body_flat(
-    *refs,
-    offsets: Tuple[Tuple[int, int, int], ...],
-    has_diag: bool,
-    ny: int,
-    nx: int,
-    ladder: Optional[Tuple[int, int, int, int]] = None,
-):
-    """Flattened-plane variant: blocks are (tz, ny*nx) with ny*nx % 128 == 0.
-
-    Mosaic's VMEM tiling pads the lane (last) dimension to a multiple of 128;
-    a 3D block with nx=160 therefore wastes ~40% of every DMA and makes all
-    in-plane ops shuffle through masked tiles.  Flattening (y, x) into one
-    lane-aligned axis restores speed-of-light DMA whenever ny*nx is a
-    multiple of 128 even though nx itself is not.
+def _math_flat(w_ref, body, top, bot, diag, offsets, ny, nx, ladder):
+    """Flat-plane tap accumulation.  body (tz, P); top/bot (8, P) blocks —
+    the needed halo plane sits at a fixed row because tz is a multiple of
+    8: the top halo plane b*tz-1 is row 7 of the preceding 8-block, the
+    bottom halo plane b*tz+tz is row 0 of the following one.
 
     Tap algebra on the flat plane P = ny*nx: the y-offset becomes an exact
-    plane-modular roll (p + dy*nx wraps y periodically by construction); the
-    x-offset is the same roll shifted by dx, which is wrong only in the
-    single wrapping column (x + dx outside [0, nx)), fixed by one extra roll
-    and a select on the output x-coordinate.
+    plane-modular roll (p + dy*nx wraps y periodically by construction);
+    the x-offset is the same roll shifted by dx, which is wrong only in the
+    single wrapping column (x + dx outside [0, nx)), fixed by one extra
+    roll and a select on the output x-coordinate.
     """
-    if has_diag:
-        w_ref, body_ref, top_ref, bot_ref, diag_ref, y_ref = refs
-    else:
-        w_ref, body_ref, top_ref, bot_ref, y_ref = refs
-        diag_ref = None
-
-    body = body_ref[...]  # (tz, P)
-    # Halo blocks are 8 planes tall (the minimum sublane-aligned block); the
-    # needed plane sits at a fixed row because tz is a multiple of 8: the
-    # top halo plane b*tz-1 is row 7 of the preceding 8-block, the bottom
-    # halo plane b*tz+tz is row 0 of the following one.
-    slab = jnp.concatenate([top_ref[7:8], body, bot_ref[0:1]], axis=0)
+    slab = jnp.concatenate([top[7:8], body, bot[0:1]], axis=0)
     tz = body.shape[0]
     p_plane = body.shape[1]
+    col_x = jax.lax.broadcasted_iota(jnp.int32, (1, p_plane), 1) % nx
 
     if ladder is not None:
-        col_x = jax.lax.broadcasted_iota(jnp.int32, (1, p_plane), 1) % nx
         k0, k1, k2, k3 = ladder
         acc = _graded_flat(
-            slab, body, w_ref[k0], w_ref[k1], w_ref[k2], w_ref[k3], ny, nx, col_x
+            slab, body, w_ref[k0], w_ref[k1], w_ref[k2], w_ref[k3], ny, nx,
+            col_x,
         )
-        if has_diag:
-            acc = acc + diag_ref[...] * body
-        y_ref[...] = acc
-        return
+        if diag is not None:
+            acc = acc + diag * body
+        return acc
 
     groups = {}
     for k, (dz, dy, dx) in enumerate(offsets):
         groups.setdefault((dy, dx), []).append((dz, k))
-
-    # Output x-coordinate per flat position (constant across rows).
-    col_x = jax.lax.broadcasted_iota(jnp.int32, (1, p_plane), 1) % nx
 
     acc = None
     for (dy, dx), taps in sorted(groups.items()):
@@ -234,9 +247,13 @@ def _stencil_kernel_body_flat(
             shifted = jnp.where(wrap, fixed, shifted)
         acc = shifted if acc is None else acc + shifted
 
-    if has_diag:
-        acc = acc + diag_ref[...] * body
-    y_ref[...] = acc
+    if diag is not None:
+        acc = acc + diag * body
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# pallas_call builders
 
 
 def _build_call(
@@ -246,67 +263,85 @@ def _build_call(
     dtype,
     interpret: bool,
     ladder: Optional[Tuple[int, int, int, int]] = None,
+    flat_io: bool = False,
 ):
+    """Build the pallas_call.  ``flat_io=False``: operands/result carry the
+    kernel's internal shape (nz, ...) — the fast path.  ``flat_io=True``:
+    operands/result are flat (M,) vectors, reshaped to the internal shape
+    inside the kernel (an in-VMEM relayout; see module doc)."""
     nz, ny, nx = grid_shape
     itemsize = jnp.dtype(dtype).itemsize
-    tz = _pick_tz(nz, ny * nx, itemsize)
+    flat, tz, halo_h, block_rest = _layout(grid_shape, dtype)
     nblocks = nz // tz
+    rest = int(np.prod(block_rest))
 
-    # Lane-alignment-driven layout choice: when nx is not a multiple of the
-    # 128-lane tile but the whole plane is, the flattened-plane kernel avoids
-    # padded DMA tiles (~6x on the N=160 flagship, measured on v5e).  The
-    # flat layout is 2D, so every block's last two dims must be
-    # (8k, 128k)-aligned: tz and the halo blocks become multiples of 8.
-    flat = (nx % 128 != 0) and ((ny * nx) % 128 == 0) and nz % 8 == 0
-    if flat:
-        block_rest = (ny * nx,)
-        kernel = functools.partial(
-            _stencil_kernel_body_flat,
-            offsets=offsets,
-            has_diag=has_diag,
-            ny=ny,
-            nx=nx,
-            ladder=ladder,
+    def run_math(w_ref, body, top, bot, diag):
+        if flat:
+            return _math_flat(
+                w_ref, body, top, bot, diag, offsets, ny, nx, ladder
+            )
+        return _math_3d(w_ref, body, top, bot, diag, offsets)
+
+    if flat_io:
+
+        def kernel(*refs):
+            if has_diag:
+                w_ref, body_ref, top_ref, bot_ref, diag_ref, y_ref = refs
+            else:
+                w_ref, body_ref, top_ref, bot_ref, y_ref = refs
+            body = body_ref[...].reshape((tz, *block_rest))
+            top = top_ref[...].reshape((halo_h, *block_rest))
+            bot = bot_ref[...].reshape((halo_h, *block_rest))
+            diag = (
+                diag_ref[...].reshape((tz, *block_rest)) if has_diag else None
+            )
+            y_ref[...] = run_math(w_ref, body, top, bot, diag).reshape(-1)
+
+        body_spec = pl.BlockSpec(
+            (tz * rest,), lambda b: (b,), memory_space=pltpu.VMEM
         )
-        # tz: multiple of 8, divisor of nz, sized to VMEM (~_FLAT_VMEM_MB
-        # usable on v5e): ~8*tz + 48 plane-sized buffers live at once.
-        plane_bytes = ny * nx * itemsize
-        cap = max(int((_FLAT_VMEM_MB * 2**20 / plane_bytes - 48) // 8), 8)
-        tz = 8
-        for cand in range(8, min(nz, cap) + 1, 8):
-            if nz % cand == 0:
-                tz = cand
-        halo_h = 8
+        top_spec = pl.BlockSpec(
+            (halo_h * rest,),
+            lambda b: (((b * tz - halo_h) % nz) // halo_h,),
+            memory_space=pltpu.VMEM,
+        )
+        bot_spec = pl.BlockSpec(
+            (halo_h * rest,),
+            lambda b: (((b * tz + tz) % nz) // halo_h,),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((nz * rest,), dtype)
+        out_spec = body_spec
     else:
-        block_rest = (ny, nx)
-        kernel = functools.partial(
-            _stencil_kernel_body,
-            offsets=offsets,
-            has_diag=has_diag,
-        )
-        halo_h = 1
-    nblocks = nz // tz
-    zeros = (0,) * len(block_rest)
-    w_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    # The same x array is passed three times with different index maps: the
-    # Tz-plane body plus the two periodic halo blocks.  In the 3D layout the
-    # halo blocks are single planes indexed mod nz; in the flat layout they
-    # are the 8-plane blocks containing the halo planes (see the flat kernel
-    # body for the fixed in-block rows).
-    body_spec = pl.BlockSpec(
-        (tz, *block_rest), lambda b: (b, *zeros), memory_space=pltpu.VMEM
-    )
-    top_spec = pl.BlockSpec(
-        (halo_h, *block_rest),
-        lambda b: (((b * tz - halo_h) % nz) // halo_h, *zeros),
-        memory_space=pltpu.VMEM,
-    )
-    bot_spec = pl.BlockSpec(
-        (halo_h, *block_rest),
-        lambda b: (((b * tz + tz) % nz) // halo_h, *zeros),
-        memory_space=pltpu.VMEM,
-    )
+        def kernel(*refs):
+            if has_diag:
+                w_ref, body_ref, top_ref, bot_ref, diag_ref, y_ref = refs
+            else:
+                w_ref, body_ref, top_ref, bot_ref, y_ref = refs
+            diag = diag_ref[...] if has_diag else None
+            y_ref[...] = run_math(
+                w_ref, body_ref[...], top_ref[...], bot_ref[...], diag
+            )
+
+        zeros = (0,) * len(block_rest)
+        body_spec = pl.BlockSpec(
+            (tz, *block_rest), lambda b: (b, *zeros), memory_space=pltpu.VMEM
+        )
+        top_spec = pl.BlockSpec(
+            (halo_h, *block_rest),
+            lambda b: (((b * tz - halo_h) % nz) // halo_h, *zeros),
+            memory_space=pltpu.VMEM,
+        )
+        bot_spec = pl.BlockSpec(
+            (halo_h, *block_rest),
+            lambda b: (((b * tz + tz) % nz) // halo_h, *zeros),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((nz, *block_rest), dtype)
+        out_spec = body_spec
+
+    w_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     in_specs = [w_spec, body_spec, top_spec, bot_spec]
     if has_diag:
         in_specs.append(body_spec)
@@ -315,10 +350,8 @@ def _build_call(
         kernel,
         grid=(nblocks,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (tz, *block_rest), lambda b: (b, *zeros), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((nz, *block_rest), dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * len(offsets) * nz * ny * nx,
             bytes_accessed=(3 if has_diag else 2) * nz * ny * nx * itemsize,
@@ -337,15 +370,24 @@ def _build_call(
     static_argnames=("grid_shape", "offsets", "interpret", "ladder"),
 )
 def _spmv_impl(x, diag, weights, grid_shape, offsets, interpret, ladder=None):
+    """SpMV dispatch: vec_shape-shaped x runs the zero-relayout path; flat
+    (M,) x runs through 1D blocks with the in-kernel reshape."""
+    shaped = x.ndim > 1
     call, shape = _build_call(
-        grid_shape, offsets, diag is not None, x.dtype, interpret, ladder
+        grid_shape, offsets, diag is not None, x.dtype, interpret, ladder,
+        flat_io=not shaped,
     )
-    xg = x.reshape(shape)
-    if diag is not None:
-        y = call(weights, xg, xg, xg, diag.reshape(shape))
-    else:
-        y = call(weights, xg, xg, xg)
-    return y.reshape(-1)
+    if shaped:
+        if x.shape != shape:
+            x = x.reshape(shape)
+        d = None if diag is None else diag.reshape(shape)
+        return call(weights, x, x, x, d) if d is not None else call(
+            weights, x, x, x
+        )
+    d = None if diag is None else diag.reshape(-1)
+    if d is not None:
+        return call(weights, x, x, x, d)
+    return call(weights, x, x, x)
 
 
 @functools.partial(
@@ -354,21 +396,19 @@ def _spmv_impl(x, diag, weights, grid_shape, offsets, interpret, ladder=None):
 )
 def _spmm_impl(X, diag, weights, grid_shape, offsets, interpret, ladder=None):
     call, shape = _build_call(
-        grid_shape, offsets, diag is not None, X.dtype, interpret, ladder
+        grid_shape, offsets, diag is not None, X.dtype, interpret, ladder,
+        flat_io=True,
     )
-    diag_g = None if diag is None else diag.reshape(shape)
+    diag_f = None if diag is None else diag.reshape(-1)
 
     def one(xcol):
-        xg = xcol.reshape(shape)
-        if diag_g is not None:
-            y = call(weights, xg, xg, xg, diag_g)
-        else:
-            y = call(weights, xg, xg, xg)
-        return y.reshape(-1)
+        if diag_f is not None:
+            return call(weights, xcol, xcol, xcol, diag_f)
+        return call(weights, xcol, xcol, xcol)
 
     # Sequential per-column kernel calls in one XLA program: each call is
     # HBM-bandwidth-bound on its own, so there is nothing to gain from
-    # batching them, and the 3D VMEM layout stays lane-aligned.
+    # batching them.
     cols = [one(X[:, j]) for j in range(X.shape[1])]
     return jnp.stack(cols, axis=1)
 
@@ -393,7 +433,11 @@ def _prep(op):
 
 
 def stencil_spmv_pallas(op, x: jax.Array, *, interpret: Optional[bool] = None):
-    """y = op @ x via the Pallas slab kernel.  ``op`` is a StencilOperator."""
+    """y = op @ x via the Pallas slab kernel.  ``op`` is a StencilOperator.
+
+    ``x`` may be flat (M,) or shaped ``op.vec_shape`` (faster: skips the
+    layout conversion); y comes back in the same shape as x.
+    """
     if interpret is None:
         interpret = not pallas_supported()
     offsets, ladder = _prep(op)

@@ -80,12 +80,18 @@ _PRECISION = jax.lax.Precision.HIGHEST
 
 
 def _default_dot(a, b):
-    return jnp.dot(a, b, precision=_PRECISION, preferred_element_type=a.dtype)
+    # Vectors may carry any shape (e.g. the operator's vec_shape); contract
+    # over every axis.  dot_general with multiple contracting dims — no
+    # reshape, no layout conversion.
+    return jnp.tensordot(
+        a, b, axes=a.ndim, precision=_PRECISION,
+        preferred_element_type=a.dtype,
+    )
 
 
 def _default_basis_dot(V, v):
-    # (n, M) @ (M,) -> (n,); zero rows of V contribute zeros.
-    return jnp.dot(V, v, precision=_PRECISION)
+    # (n, *vs) x (*vs,) -> (n,); zero rows of V contribute zeros.
+    return jnp.tensordot(V, v, axes=v.ndim, precision=_PRECISION)
 
 
 def _resolve_dot(dot, compensated):
@@ -116,7 +122,7 @@ def _orthogonalize(V, v, basis_dot, passes: int):
     """Orthogonalize v against all (zero-padded) rows of V, CGS x passes."""
     for _ in range(passes):
         coeff = basis_dot(V, v)  # (n,)
-        v = v - jnp.dot(coeff, V, precision=_PRECISION)
+        v = v - jnp.tensordot(coeff, V, axes=1, precision=_PRECISION)
     return v
 
 
@@ -180,7 +186,7 @@ def lanczos_segment(
                 (V, v),
             )
 
-        V = jax.lax.dynamic_update_slice_in_dim(V, v[None, :], j, axis=0)
+        V = jax.lax.dynamic_update_slice_in_dim(V, v[None], j, axis=0)
         v_prev = jax.lax.dynamic_index_in_dim(V, j - 1, axis=0, keepdims=False)
         w = matvec(v)
         alpha = dot(v, w)
@@ -231,14 +237,15 @@ def lanczos_kernel(
         )
     if reorth not in ("full", "none", "periodic"):
         raise ValueError(f"unknown reorth strategy: {reorth!r}")
-    m = v0.shape[0]
+    vshape = v0.shape  # any shape: flat (M,) or the operator's vec_shape
+    m = int(np.prod(vshape))
     dtype = v0.dtype
 
     def norm(x):
         return jnp.sqrt(dot(x, x))
 
     v0 = v0 / norm(v0)
-    V = jnp.zeros((n, m), dtype=dtype).at[0].set(v0)
+    V = jnp.zeros((n, *vshape), dtype=dtype).at[0].set(v0)
     w = matvec(v0)
     alpha0 = dot(v0, w)
     r = w - alpha0 * v0
@@ -263,8 +270,11 @@ def lanczos_kernel(
         breakdown_tol=breakdown_tol,
         compensated=False,
     )
+    # Public factorization keeps the flat (n, M) layout regardless of the
+    # internal carry shape (one relayout per solve, not per step).
     return LanczosFactorization(
-        alpha=alpha_h, beta=beta_h, V=V, resid=r, breakdown_iter=breakdown_iter
+        alpha=alpha_h, beta=beta_h, V=V.reshape(n, m), resid=r.reshape(m),
+        breakdown_iter=breakdown_iter,
     )
 
 
@@ -290,7 +300,8 @@ def _lanczos_selective_kernel(
     always-on full reorthogonalization (Regular/Lanczos.py:115).  Cost on
     well-behaved spectra: O(sqrt(n)) reorth passes instead of n.
     """
-    m = v0.shape[0]
+    vshape = v0.shape
+    m = int(np.prod(vshape))
     dtype = v0.dtype
     eps = float(np.finfo(np.dtype(dtype)).eps)
     threshold = np.sqrt(eps)
@@ -301,7 +312,7 @@ def _lanczos_selective_kernel(
         return jnp.sqrt(dot(x, x))
 
     v0 = v0 / norm(v0)
-    V = jnp.zeros((n, m), dtype=dtype).at[0].set(v0)
+    V = jnp.zeros((n, *vshape), dtype=dtype).at[0].set(v0)
     w = matvec(v0)
     alpha0 = dot(v0, w)
     r = w - alpha0 * v0
@@ -353,7 +364,7 @@ def _lanczos_selective_kernel(
         w_new = jnp.where(trigger, jnp.where(idx < j, noise, w_new), w_new)
         omega_curr2 = jnp.where(trigger, jnp.where(idx < j, noise, omega_curr), omega_curr)
 
-        V = jax.lax.dynamic_update_slice_in_dim(V, v[None, :], j, axis=0)
+        V = jax.lax.dynamic_update_slice_in_dim(V, v[None], j, axis=0)
         v_prev = jax.lax.dynamic_index_in_dim(V, j - 1, axis=0, keepdims=False)
         wv = matvec(v)
         alpha = dot(v, wv)
@@ -373,7 +384,8 @@ def _lanczos_selective_kernel(
     )
     alpha = jnp.concatenate([alpha0[None], alphas])
     return LanczosFactorization(
-        alpha=alpha, beta=betas, V=V, resid=r, breakdown_iter=breakdown_iter
+        alpha=alpha, beta=betas, V=V.reshape(n, m), resid=r.reshape(m),
+        breakdown_iter=breakdown_iter,
     )
 
 
@@ -395,6 +407,9 @@ def _lanczos_jit(
         )
     else:
         v0 = v0.astype(dtype)
+    # Carry the recurrence in the operator's preferred layout (one relayout
+    # here instead of two per SpMV — see ops/pallas_kernels.py module doc).
+    v0 = v0.reshape(getattr(op, "vec_shape", (m,)))
     return lanczos_kernel(
         op.matvec,
         v0,

@@ -61,7 +61,7 @@ def _cycle_kernel(
     def orth(V, v):
         for _ in range(reorth_passes):
             coeff = basis_dot(V, v)
-            v = v - jnp.dot(coeff, V, precision=_PRECISION)
+            v = v - jnp.tensordot(coeff, V, axes=1, precision=_PRECISION)
         return v
 
     V = V.at[l].set(u)
@@ -70,7 +70,7 @@ def _cycle_kernel(
     alpha0 = dot(u, w)
     w = w - alpha0 * u
     if l > 0:
-        w = w - jnp.dot(sigma, V[:l], precision=_PRECISION)
+        w = w - jnp.tensordot(sigma, V[:l], axes=1, precision=_PRECISION)
     w = orth(V, w)
 
     def step(carry, j):
@@ -177,8 +177,11 @@ def _ritz_update(V, evecs, l):
     against every row of V, and stale vectors from the finished cycle would
     wrongly deflate directions that are no longer in the basis.
     """
-    y = jnp.dot(evecs[:, :l].T, V[:-1], precision=_PRECISION)  # (l, M)
-    nrm = jnp.sqrt(jnp.sum(y * y, axis=1, keepdims=True))
+    y = jnp.tensordot(
+        evecs[:, :l].T, V[:-1], axes=1, precision=_PRECISION
+    )  # (l, *vs)
+    vec_axes = tuple(range(1, y.ndim))
+    nrm = jnp.sqrt(jnp.sum(y * y, axis=vec_axes, keepdims=True))
     y = y / jnp.where(nrm > 0, nrm, 1.0)
     return jnp.zeros_like(V).at[:l].set(y)
 
@@ -231,8 +234,9 @@ def eigsh_restarted(
         v0 = jax.random.uniform(
             jax.random.PRNGKey(seed), (mdim,), dtype=dtype, minval=-1, maxval=1
         )
-    u = (v0 / jnp.linalg.norm(v0)).astype(dtype)
-    V = jnp.zeros((m + 1, mdim), dtype=dtype)
+    vs = tuple(getattr(op, "vec_shape", (mdim,)))
+    u = (v0 / jnp.linalg.norm(v0)).astype(dtype).reshape(vs)
+    V = jnp.zeros((m + 1, *vs), dtype=dtype)
     sigma = jnp.zeros((0,), dtype)
     theta = np.zeros(0)
     l = 0
@@ -251,8 +255,8 @@ def eigsh_restarted(
                 checkpoint_path
             )
             l = V_locked.shape[0]
-            V = V.at[:l].set(jnp.asarray(V_locked, dtype=dtype))
-            u = jnp.asarray(u_np, dtype=dtype)
+            V = V.at[:l].set(jnp.asarray(V_locked, dtype=dtype).reshape(l, *vs))
+            u = jnp.asarray(u_np, dtype=dtype).reshape(vs)
             sigma = jnp.asarray(sigma_np, dtype)
             theta = np.asarray(theta, np.float64)
 
@@ -308,7 +312,7 @@ def eigsh_restarted(
         # TRUE residual ||A x - theta x|| stalls, and the model eigenvalue
         # can be off by ~1e-4 (measured, N=32 deuteron).  Rayleigh-Ritz
         # refinement on the locked block removes the drift.
-        lam, Xr, tres, Wr = _refine_host(op, V[:k].T)
+        lam, Xr, tres, Wr = _refine_host(op, V[:k].reshape(k, mdim).T)
         order = np.argsort(lam) if which == "SA" else np.argsort(-lam)
         oj = jnp.asarray(order)
         lam, tres = lam[order], tres[order]
@@ -326,7 +330,7 @@ def eigsh_restarted(
             break
         # Not truly converged: anchor the locked block to the refined
         # eigenpairs (better vectors AND an honest model) and keep cycling.
-        V = V.at[:k].set(Xr.T)
+        V = V.at[:k].set(Xr.T.reshape(k, *vs))
         theta = np.concatenate([lam, theta[k:]])
         sigma_k = np.asarray(
             jnp.dot(Wr.T, u, precision=_PRECISION), np.float64
@@ -334,7 +338,7 @@ def eigsh_restarted(
         sigma = np.concatenate([sigma_k, np.asarray(sigma, np.float64)[k:]])
 
     if refined is None:
-        lam, Xr, tres, _ = _refine_host(op, V[:k].T)
+        lam, Xr, tres, _ = _refine_host(op, V[:k].reshape(k, mdim).T)
         order = np.argsort(lam) if which == "SA" else np.argsort(-lam)
         lam, tres = lam[order], tres[order]
         Xr = Xr[:, jnp.asarray(order)]

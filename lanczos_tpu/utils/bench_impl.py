@@ -33,11 +33,11 @@ def _chain_time_per_iter(make_chain, x, lo=5, hi=505, repeats=5):
     """
     f_lo, f_hi = make_chain(lo), make_chain(hi)
     for f in (f_lo, f_hi):
-        float(f(x)[0])  # compile + warm
+        float(f(x).reshape(-1)[0])  # compile + warm
 
     def once(f):
         t0 = time.perf_counter()
-        float(f(x)[0])
+        float(f(x).reshape(-1)[0])
         return time.perf_counter() - t0
 
     t_lo = min(once(f_lo) for _ in range(repeats))
@@ -67,7 +67,10 @@ def bench_tpu_spmv(n_grid=160, dtype="float32"):
 
         return chain
 
-    x = jnp.ones(m, dtype=dtype) / np.sqrt(m)
+    # Carry the operator's preferred vector layout — exactly what the
+    # solvers do since they became vec_shape-aware (a flat carry would add
+    # a ~50 us/SpMV HBM relayout that no solver pays anymore).
+    x = jnp.ones(H.vec_shape, dtype=dtype) / np.sqrt(m)
     per_spmv = _chain_time_per_iter(make_chain, x)
     itemsize = jnp.dtype(dtype).itemsize
     bytes_per = 3 * m * itemsize  # read x, write y, read diag
