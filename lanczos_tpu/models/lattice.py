@@ -40,8 +40,15 @@ from typing import Callable, Optional, Sequence, Tuple
 
 import numpy as np
 
+# Above this many fine-grid cells the dense occupancy array (8 B/cell) is
+# replaced by a sorted-index table: 2**28 cells = 2 GB, the practical dense
+# ceiling; any 6-D lattice beyond N=25 crosses it (the reference's dense-array
+# equivalent is what made its gen-2 6-D line unrunnable at scale).
+DENSE_OCCUPANCY_LIMIT = 2**28
+
 __all__ = [
     "IrregularLattice",
+    "DENSE_OCCUPANCY_LIMIT",
     "potential_spacings",
     "build_lattice",
     "find_neighbors",
@@ -82,7 +89,12 @@ class IrregularLattice:
     box_of_point:  (P,) box id owning each point.
     spacings:      (nr_boxes,) spacing a_b (units of the fine grid).
     occupancy:     (N^nd,) flat map fine coord -> point idx, -1 where empty
-                   (flat index = sum_a c_a * N^a, axis 0 fastest).
+                   (flat index = sum_a c_a * N^a, axis 0 fastest), or None
+                   when N^nd exceeds DENSE_OCCUPANCY_LIMIT — high-dimension
+                   lattices (the reference's gen-2 6-D scope, Lattice.py:67)
+                   would need terabytes dense; lookups then go through a
+                   sorted flat-index table (sorted_flat/sorted_order) via
+                   binary search, O(log P) per coord, vectorized.
     """
 
     n_fine: int
@@ -91,9 +103,11 @@ class IrregularLattice:
     spacings: np.ndarray
     coords: np.ndarray
     box_of_point: np.ndarray
-    occupancy: np.ndarray
+    occupancy: Optional[np.ndarray]
     box_starts: np.ndarray
     ndim: int = 3
+    sorted_flat: Optional[np.ndarray] = None
+    sorted_order: Optional[np.ndarray] = None
 
     @property
     def num_points(self) -> int:
@@ -127,7 +141,13 @@ class IrregularLattice:
 
     def lookup(self, coords: np.ndarray) -> np.ndarray:
         """Point index at the given fine coords (-1 where no point exists)."""
-        return self.occupancy[self.flat_index(coords)]
+        f = self.flat_index(coords)
+        if self.occupancy is not None:
+            return self.occupancy[f]
+        pos = np.minimum(
+            np.searchsorted(self.sorted_flat, f), len(self.sorted_flat) - 1
+        )
+        return np.where(self.sorted_flat[pos] == f, self.sorted_order[pos], -1)
 
 
 def _box_corners(box_depth: int, npb: int, ndim: int) -> np.ndarray:
@@ -302,9 +322,16 @@ def build_lattice(
         coords[box_starts[b] : box_starts[b + 1]] = pts + corners[b]
         box_of_point[box_starts[b] : box_starts[b + 1]] = b
 
-    occupancy = np.full(n_fine**ndim, -1, dtype=np.int64)
     strides = n_fine ** np.arange(ndim, dtype=np.int64)
-    occupancy[coords @ strides] = np.arange(total)
+    flat = coords @ strides
+    if n_fine**ndim <= DENSE_OCCUPANCY_LIMIT:
+        occupancy = np.full(n_fine**ndim, -1, dtype=np.int64)
+        occupancy[flat] = np.arange(total)
+        sorted_flat = sorted_order = None
+    else:
+        occupancy = None
+        sorted_order = np.argsort(flat, kind="stable")
+        sorted_flat = flat[sorted_order]
 
     return IrregularLattice(
         n_fine=n_fine,
@@ -316,6 +343,8 @@ def build_lattice(
         occupancy=occupancy,
         box_starts=box_starts,
         ndim=ndim,
+        sorted_flat=sorted_flat,
+        sorted_order=sorted_order,
     )
 
 
@@ -327,7 +356,7 @@ def _box_of_coord(lat: IrregularLattice, coords: np.ndarray) -> np.ndarray:
 
 def _local_max_spacing(lat: IrregularLattice, idx: np.ndarray, d: int):
     """For each point: (max spacing among boxes its +-D*a cube touches,
-    whether any touched box has a different spacing).
+    min spacing among them, whether any touched box has a different spacing).
 
     Vectorized version of IsCloseToEdge / IsCloseToEdgeWithDifferentSpacing +
     the "FINDING BIGGEST LOCAL a" step (IrrGrid.py:102-107, 219-242)."""
@@ -335,14 +364,16 @@ def _local_max_spacing(lat: IrregularLattice, idx: np.ndarray, d: int):
     a_own = lat.spacings[lat.box_of_point[idx]]  # (Q,)
     reach = (d * a_own)[:, None]  # (Q, 1)
     a_max = a_own.copy()
+    a_min = a_own.copy()
     differs = np.zeros(len(idx), dtype=bool)
     for disp in itertools.product((-1, 0, 1), repeat=lat.ndim):
         dv = np.asarray(disp, dtype=np.int64)
         touched = _box_of_coord(lat, p + dv * reach)
         a_t = lat.spacings[touched]
         a_max = np.maximum(a_max, a_t)
+        a_min = np.minimum(a_min, a_t)
         differs |= a_t != a_own
-    return a_max, differs
+    return a_max, a_min, differs
 
 
 def _displacements(d: int, ndim: int) -> np.ndarray:
@@ -385,7 +416,10 @@ def find_neighbors(
         if out is not None:
             return out
         if backend == "native":
-            raise RuntimeError("native neighbor engine unavailable (g++ build failed?)")
+            raise RuntimeError(
+                "native neighbor engine unavailable (g++ build failed, or the"
+                " lattice exceeds the dense-occupancy limit)"
+            )
     elif backend == "native":
         raise RuntimeError(f"native neighbor engine supports 3D only, lattice is {lat.ndim}D")
     if idx is None:
@@ -394,15 +428,21 @@ def find_neighbors(
     q = len(idx)
     nd = lat.ndim
     a_own = lat.spacings[lat.box_of_point[idx]]
-    local_a, differs = _local_max_spacing(lat, idx, d)
+    local_a, local_amin, differs = _local_max_spacing(lat, idx, d)
 
     disp_unit = _displacements(d, nd)  # ((2d+1)^nd - 1, nd)
     s_fast = disp_unit.shape[0]
 
-    # Worst-case K over the edge path: all fine offsets in the local_a cube.
-    r_max = int(d * local_a.max()) if q else d
-    k_edge = (2 * r_max + 1) ** nd - 1
-    k = s_fast if not differs.any() else max(s_fast, k_edge)
+    # Every lattice coordinate is a multiple of its box spacing (box corners
+    # are multiples of n_per_box, which every power-of-two spacing divides),
+    # so within a point's search cube all existing points sit on the local
+    # minimum-spacing sublattice: the edge scan steps by a_min instead of 1.
+    # Identical results to the fine scan (skipped offsets can never hit a
+    # point), but (a_max/a_min)^nd fewer candidates — the difference between
+    # intractable (17^6) and cheap (5^6) in 6-D.
+    ratio = d * local_a // np.maximum(local_amin, 1)
+    k_edge = int((2 * ratio.max() + 1) ** nd - 1) if differs.any() else 0
+    k = max(s_fast, k_edge)
 
     nbrs = np.full((q, k), -1, dtype=np.int64)
     rels = np.zeros((q, k, nd), dtype=np.int64)
@@ -418,12 +458,16 @@ def find_neighbors(
         nbrs[fi, :s_fast] = found
         rels[fi, :s_fast] = offs
 
-    # Edge path: cube scan + mirror filter, grouped by search radius.
+    # Edge path: cube scan + mirror filter, grouped by (radius, step).
     if differs.any():
         ei_all = np.nonzero(differs)[0]
-        for r in np.unique((d * local_a)[ei_all]):
-            sel = ei_all[(d * local_a)[ei_all] == r]
-            cube = _displacements(int(r), nd)  # (C, nd)
+        rs = d * local_a
+        key = rs * (local_a.max() + 1) + local_amin
+        for kk in np.unique(key[ei_all]):
+            sel = ei_all[key[ei_all] == kk]
+            r = int(rs[sel[0]])
+            step = int(local_amin[sel[0]])
+            cube = step * _displacements(r // step, nd)  # (C, nd)
             for lo in range(0, len(sel), chunk):
                 ii = sel[lo : lo + chunk]
                 p = lat.coords[idx[ii]]  # (B, nd)

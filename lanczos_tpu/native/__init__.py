@@ -122,7 +122,9 @@ def find_neighbors_native(
     rels (Q, K, 3)), K = the true max degree over the query.
     """
     lib = _lib()
-    if lib is None:
+    if lib is None or lat.occupancy is None:
+        # The engine indexes a dense occupancy array; huge fine grids carry
+        # only the sorted table (models.lattice.DENSE_OCCUPANCY_LIMIT).
         return None
     if idx is None:
         idx = np.arange(lat.num_points, dtype=np.int64)

@@ -254,7 +254,7 @@ def build_composite(
     inv[perm] = np.arange(p)
 
     # ---- which rows are interface rows: not the aligned 26-stencil.
-    _, differs = _local_max_spacing(lat, np.arange(p), 1)
+    _, _, differs = _local_max_spacing(lat, np.arange(p), 1)
     deg = (nbrs >= 0).sum(axis=1)
     interface = differs | (deg != 26)
 

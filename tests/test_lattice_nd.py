@@ -114,3 +114,57 @@ def test_6d_neighbor_search_smoke():
     for row in range(len(idx)):
         got = {tuple(r) for r, nb_ in zip(rels[row], nbrs[row]) if nb_ >= 0}
         assert got == {tuple(-np.array(r)) for r in got}
+
+
+def test_6d_sparse_occupancy_at_scale():
+    """A 6-D lattice whose fine grid (64^6 cells = 550 GB dense) only fits
+    through the sorted-table occupancy (VERDICT r1 #8); lookup semantics must
+    match the dense path exactly."""
+    from lanczos_tpu.models.lattice import DENSE_OCCUPANCY_LIMIT
+
+    bd, n_fine = 4, 64
+    nb = bd**6
+    sp = np.full(nb, 8, dtype=np.int64)
+    sp[nb // 2] = 4
+    assert n_fine**6 > DENSE_OCCUPANCY_LIMIT
+    lat = build_lattice(n_fine, 25.0, bd, spacings=sp, ndim=6)
+    assert lat.occupancy is None
+    assert lat.num_points == (nb - 1) * 2**6 + 4**6
+    # Round-trip through the sparse lookup, plus misses map to -1.
+    assert (lat.lookup(lat.coords) == np.arange(lat.num_points)).all()
+    assert (lat.lookup(lat.coords + 1) == -1).any()
+    # Neighbor search agrees with the 3-D semantics: interior same-spacing
+    # points get the full aligned 3^6-1 stencil at their own spacing.
+    idx = np.arange(0, lat.num_points, max(1, lat.num_points // 32))
+    nbrs, rels = find_neighbors(lat, 1, idx, backend="numpy")
+    a_own = lat.spacings[lat.box_of_point[idx]]
+    full = (nbrs >= 0).sum(axis=1) == 3**6 - 1
+    assert full.any()
+    # Full-stencil (interior) rows reach exactly +-a_own in every axis.
+    assert all(
+        np.abs(rels[i][nbrs[i] >= 0]).max() == a_own[i]
+        for i in np.nonzero(full)[0]
+    )
+
+
+def test_sparse_occupancy_matches_dense():
+    """Force the sparse path on a small 3-D lattice and compare every lookup
+    against the dense occupancy."""
+    import dataclasses as _dc
+
+    nb = 27
+    sp = np.full(nb, 2, dtype=np.int64)
+    sp[nb // 2] = 1
+    lat = build_lattice(12, 25.0, 3, spacings=sp, ndim=3)
+    flat = lat.coords @ lat.strides
+    order = np.argsort(flat, kind="stable")
+    sparse = _dc.replace(
+        lat, occupancy=None, sorted_flat=flat[order], sorted_order=order
+    )
+    rng = np.random.default_rng(0)
+    probe = rng.integers(-12, 24, size=(2000, 3))
+    np.testing.assert_array_equal(sparse.lookup(probe), lat.lookup(probe))
+    n1, r1 = find_neighbors(lat, 1, backend="numpy")
+    n2, r2 = find_neighbors(sparse, 1, backend="numpy")
+    np.testing.assert_array_equal(n1, n2)
+    np.testing.assert_array_equal(r1, r2)
