@@ -127,3 +127,33 @@ def test_sharded_composite_solve_matches(mesh, composite_pair):
         rtol=1e-9, atol=1e-9,
     )
     assert float(np.max(np.asarray(res.residuals))) < 1e-9
+
+
+def test_sharded_stencil_pallas_path_matches(mesh):
+    """The sharded local matvec dispatched through the Pallas kernel (the
+    single-chip hot path, interpret mode here) + two-plane boundary
+    correction == the global operator, on every device count that divides
+    the grid (VERDICT r1 next #5: unified hot paths)."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+
+    from lanczos_tpu.parallel.distributed import _stencil_local_matvec
+
+    n_grid = 16
+    H = build_regular_hamiltonian(
+        n_grid, 25.0, deuteron_potential_3d, stencil="27", dtype="float32"
+    )
+    m = H.shape[0]
+    x = jax.random.uniform(jax.random.PRNGKey(0), (m,), dtype=jnp.float32)
+    y_ref = np.asarray(H.matvec(x.reshape(H.vec_shape)).reshape(-1))
+
+    local_mv = _stencil_local_matvec(H, 8, "rows", use_pallas=True)
+    mapped = jax.jit(
+        jax.shard_map(
+            local_mv, mesh=mesh,
+            in_specs=(P(), P("rows"), P("rows")), out_specs=P("rows"),
+            check_vma=False,
+        )
+    )
+    y = np.asarray(mapped(H.weights, H.diag.reshape(-1), x))
+    np.testing.assert_allclose(y, y_ref, rtol=2e-5, atol=2e-5)
