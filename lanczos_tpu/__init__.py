@@ -43,6 +43,7 @@ from .models.irr_hamiltonian import (
 )
 from .solver.two_sided import two_sided_eigs, two_sided_lanczos
 from .solver.arnoldi import arnoldi, eigs_nonsym
+from .solver.look_ahead import lookahead_eigs, two_sided_lanczos_lookahead
 from .models.potentials import (
     DEUTERON_REDUCED_REST_ENERGY_MEV,
     HBAR_C_MEV_FM,

@@ -16,3 +16,8 @@ from .two_sided import (
 )
 from .block import BlockLanczosFactorization, block_lanczos, block_ritz
 from .arnoldi import ArnoldiFactorization, arnoldi, eigs_nonsym
+from .look_ahead import (
+    LookAheadFactorization,
+    lookahead_eigs,
+    two_sided_lanczos_lookahead,
+)
