@@ -220,6 +220,7 @@ def build_composite(
     diag: np.ndarray,
     scale: float,
     dtype=np.float32,
+    interior_weights=None,
 ) -> Tuple[CompositeOperator, np.ndarray]:
     """Build the composite operator from assembled LSQ rows.
 
@@ -228,6 +229,16 @@ def build_composite(
     and the diagonal vector is passed ready-made.  Returns (operator, perm)
     where perm maps lattice order -> operator (level-major) order:
     operator_vector = lattice_vector[perm].
+
+    ``interior_weights``: optional ``a -> (26,)`` callable giving the shared
+    aligned-stencil weights (offset product order, center excluded, offsets
+    scaled by the level spacing ``a``) that every interior row at spacing
+    ``a`` is assumed to carry.  Default: the LSQ Laplacian weights — correct
+    for rows produced by irregular_laplacian_rows; other row sources (e.g.
+    the graph Laplacian of scripts/northstar.py: constant -1) must supply
+    theirs, since interior rows are applied through this shared stencil, not
+    through the per-row ``weights`` array (which still feeds the interface
+    rows).
 
     Requires a 3D lattice.  Interface rows are those whose neighbor cloud is
     not the aligned own-spacing 26-stencil (equivalently lattice
@@ -286,7 +297,10 @@ def build_composite(
             list(itertools.product((-1, 0, 1), repeat=3)), dtype=np.int64
         )  # (27, 3) as (dx, dy, dz)
         nz = np.any(offs != 0, axis=1)
-        w26 = laplacian_weights((offs[nz] * a).astype(np.float64))
+        if interior_weights is not None:
+            w26 = np.asarray(interior_weights(int(a)), dtype=np.float64)
+        else:
+            w26 = laplacian_weights((offs[nz] * a).astype(np.float64))
         w27 = np.zeros(27)
         w27[nz] = scale * w26
         levels.append(

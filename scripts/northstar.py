@@ -82,13 +82,18 @@ def main():
     from lanczos_tpu.ops.composite import build_composite
     from lanczos_tpu.solver.restart import eigsh_restarted
 
+    if os.environ.get("NORTHSTAR_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+
+    # NOTE: jax.default_backend() (first backend touch — on this machine a
+    # TPU-tunnel grant that can take minutes when stale) is deferred until
+    # after the host-side graph build below.
     info = {
         "problem": "irregular lattice graph Laplacian, k smallest",
         "n_fine": args.n_fine,
         "box_depth": args.box_depth,
         "k": args.k,
         "tol": args.tol,
-        "backend": jax.default_backend(),
         "dtype": "float32",
         "compensated": True,
     }
@@ -102,10 +107,12 @@ def main():
     print(f"[northstar] P={p} nnz={nnz} "
           f"(neighbors {times['t_neighbors_s']:.1f}s)", flush=True)
 
+    info["backend"] = jax.default_backend()
     shift = 1.0
     t0 = time.time()
     comp, perm = build_composite(
-        lat, nbrs, rels, weights, deg + shift, scale=1.0, dtype=np.float32
+        lat, nbrs, rels, weights, deg + shift, scale=1.0, dtype=np.float32,
+        interior_weights=lambda a: np.full(26, -1.0),
     )
     info["t_build_composite_s"] = time.time() - t0
     print(f"[northstar] composite built in {info['t_build_composite_s']:.1f}s",
@@ -155,8 +162,16 @@ def main():
     info["true_residual_median"] = float(np.median(true_res))
     info["pairs_below_1e-6"] = int((true_res < 1e-6).sum())
     info["pairs_below_1e-7"] = int((true_res < 1e-7).sum())
+    # scipy-style normalization (relative to the operator norm, the tol
+    # ARPACK itself uses): ||Lx - lam x|| / (||x|| ||L||).
+    l_norm = float(abs(L).sum(axis=1).max())  # inf-norm bound
+    res_opnorm = np.linalg.norm(R, axis=0) / np.maximum(xn, 1e-300) / l_norm
+    info["operator_norm_bound"] = l_norm
+    info["resid_over_opnorm_max"] = float(res_opnorm.max())
+    info["resid_over_opnorm_median"] = float(np.median(res_opnorm))
     print(f"[northstar] true residuals: max {true_res.max():.2e} "
-          f"median {np.median(true_res):.2e}", flush=True)
+          f"median {np.median(true_res):.2e} "
+          f"(/||L||: {res_opnorm.max():.2e})", flush=True)
 
     if not args.skip_scipy:
         import multiprocessing as mp

@@ -144,3 +144,54 @@ def test_eigsh_restarted_compensated(rng):
     res = eigsh_restarted(op, k=5, tol=1e-5, compensated=True)
     want = np.linalg.eigvalsh(A)[:5]
     np.testing.assert_allclose(np.asarray(res.eigenvalues), want, atol=5e-4)
+
+
+def test_solve_level_fp32_compensated_floor():
+    """Solve-level pin of the compensated-fp32 convergence claim (VERDICT r1
+    #3): thick restart with compensated=True reaches the fp32 representation
+    floor (~2 eps ~ 2.4e-7 relative to ||H||) on a real Hamiltonian, and
+    beats the plain-fp32 solve by a clear margin.  A true 1e-7 is below
+    eps(fp32)=1.19e-7 — unreachable for fp32-STORED eigenvectors; the floor
+    itself is the correct claim (DESIGN.md §4)."""
+    import scipy.sparse
+
+    import lanczos_tpu as lt
+    from lanczos_tpu.ops.assemble import stencil_to_ell
+    from lanczos_tpu.solver.restart import eigsh_restarted
+
+    H = lt.build_regular_hamiltonian(
+        32, 25.0, lt.deuteron_potential_3d, stencil="27", dtype="float32"
+    )
+    ell = stencil_to_ell(H)
+    kk = ell.cols.shape[1]
+    m = H.shape[0]
+    csr = scipy.sparse.csr_matrix(
+        (
+            np.asarray(ell.vals, np.float64).ravel().copy(),
+            np.asarray(ell.cols).ravel().copy(),
+            np.arange(m + 1) * kk,
+        ),
+        shape=(m, m),
+    )
+    hn = np.abs(csr).sum(axis=1).max()
+
+    def true_rel(res):
+        lam = np.asarray(res.eigenvalues, np.float64)
+        X = np.asarray(res.eigenvectors, np.float64)
+        R = csr @ X - X * lam[None]
+        return (np.linalg.norm(R, axis=0) / np.linalg.norm(X, axis=0) / hn).max()
+
+    r_comp = true_rel(
+        eigsh_restarted(
+            H, k=8, tol=1e-10, which="SA", dtype="float32",
+            compensated=True, max_cycles=40,
+        )
+    )
+    r_plain = true_rel(
+        eigsh_restarted(
+            H, k=8, tol=1e-10, which="SA", dtype="float32",
+            compensated=False, max_cycles=40,
+        )
+    )
+    assert r_comp < 2.5e-7, r_comp  # ~2 eps(fp32): the storage floor
+    assert r_comp < 0.5 * r_plain, (r_comp, r_plain)
