@@ -51,11 +51,19 @@ def eigsh(
     compute_acceptance: bool = True,
     dtype=None,
     compensated: bool = False,
+    block_size: int = 1,
 ) -> EigResult:
     """Find k extremal eigenpairs of a symmetric operator by Lanczos.
 
     Parameters mirror scipy.sparse.linalg.eigsh where they overlap; ``A`` may
     be a LinearOperator, a dense array, or a scipy sparse matrix.
+
+    ``block_size > 1`` runs BLOCK Lanczos (solver.block): the recurrence
+    advances a (M, b) panel per step through ``op.matmat``, resolving
+    degenerate multiplets up to b that single-vector Lanczos cannot
+    (SURVEY.md §7.7); ``n`` then counts Krylov VECTORS (rounded down to a
+    whole number of blocks).  reorth/ghost options apply to the
+    single-vector path only.
 
     ``ghost_filter`` defaults to True when reorthogonalization is not "full"
     (without full reorth, spurious copies of converged eigenvalues appear and
@@ -73,6 +81,29 @@ def eigsh(
         raise ValueError(f"k={k} cannot exceed Krylov depth n={n}")
     if ghost_filter is None:
         ghost_filter = reorth != "full"
+
+    if block_size > 1:
+        from .block import block_lanczos, block_ritz
+
+        num_blocks = max(n // block_size, 2)
+        bfac = block_lanczos(
+            op, num_blocks, block_size, seed=seed, dtype=dtype
+        )
+        theta_b, X_b, resid_b = block_ritz(bfac)
+        sel = _select(np.asarray(theta_b), which, k)
+        eigenvalues = theta_b[sel]
+        eigenvectors = X_b[:, sel]
+        residuals = resid_b[sel]
+        if compute_acceptance:
+            inner = acceptance_inner_prod(op, eigenvectors)
+        else:
+            inner = jnp.full(len(sel), jnp.nan, dtype=eigenvalues.dtype)
+        return EigResult(
+            eigenvalues=eigenvalues,
+            eigenvectors=eigenvectors,
+            residuals=residuals,
+            inner_prod=inner,
+        )
 
     fac = lanczos(
         op,

