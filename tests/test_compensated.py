@@ -102,6 +102,15 @@ def test_dot2_under_jit_and_scan(rng):
     jitted = float(jax.jit(dot2_rounded)(a, b))
     assert eager == jitted
 
+    # ... and inside an actual lax.scan body (the Lanczos usage pattern).
+    def body(carry, _):
+        return carry + dot2_rounded(a, b), None
+
+    scanned, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=3)
+    # fp32 accumulation of the 3 identical terms; only the carry rounds.
+    expect = np.float32(np.float32(eager) + np.float32(eager)) + np.float32(eager)
+    assert float(scanned) == float(expect)
+
 
 def test_compensated_lanczos_tightens_alpha(rng):
     """Compensated recurrence reproduces the fp64 oracle's tridiagonal

@@ -92,7 +92,10 @@ def composite_pair():
     )
     from lanczos_tpu.models.lattice import build_lattice
 
-    lat = build_lattice(24, 25.0, 3, overwrite_spacing=True)
+    # Smallest lattice with both levels + interfaces: keeps the Krylov-Schur
+    # equivalence test below at ~1 min instead of ~10 (it dominates suite
+    # wall time; the physics-scale runs live in test_composite.py).
+    lat = build_lattice(12, 25.0, 3, overwrite_spacing=True)
     comp, perm = assemble_irregular_hamiltonian_composite(
         lat, deuteron_potential_3d, dtype=np.float64
     )
@@ -120,8 +123,8 @@ def test_sharded_composite_solve_matches(mesh, composite_pair):
 
     comp, _ = composite_pair
     op = shard_operator(comp, mesh)
-    res = eigs_nonsym(op, k=4, tol=1e-9, which="SR", dtype="float64")
-    res1 = eigs_nonsym(comp, k=4, tol=1e-9, which="SR", dtype="float64")
+    res = eigs_nonsym(op, k=3, tol=1e-9, which="SR", dtype="float64")
+    res1 = eigs_nonsym(comp, k=3, tol=1e-9, which="SR", dtype="float64")
     np.testing.assert_allclose(
         np.asarray(res.eigenvalues), np.asarray(res1.eigenvalues),
         rtol=1e-9, atol=1e-9,
