@@ -356,24 +356,31 @@ def _box_of_coord(lat: IrregularLattice, coords: np.ndarray) -> np.ndarray:
 
 def _local_max_spacing(lat: IrregularLattice, idx: np.ndarray, d: int):
     """For each point: (max spacing among boxes its +-D*a cube touches,
-    min spacing among them, whether any touched box has a different spacing).
+    GCD of the touched spacings, whether any touched box has a different
+    spacing).
 
     Vectorized version of IsCloseToEdge / IsCloseToEdgeWithDifferentSpacing +
-    the "FINDING BIGGEST LOCAL a" step (IrrGrid.py:102-107, 219-242)."""
+    the "FINDING BIGGEST LOCAL a" step (IrrGrid.py:102-107, 219-242).
+
+    The GCD (not the minimum) is the exact step for the edge scan: a
+    neighbor in a box with spacing a_t sits at an offset that is a multiple
+    of gcd(a_own, a_t), so scanning the GCD sublattice misses nothing even
+    for non-power-of-two spacing mixes like {2, 3}.  For power-of-two
+    spacings gcd == min, so the common case costs the same."""
     p = lat.coords[idx]  # (Q, nd)
     a_own = lat.spacings[lat.box_of_point[idx]]  # (Q,)
     reach = (d * a_own)[:, None]  # (Q, 1)
     a_max = a_own.copy()
-    a_min = a_own.copy()
+    a_gcd = a_own.copy()
     differs = np.zeros(len(idx), dtype=bool)
     for disp in itertools.product((-1, 0, 1), repeat=lat.ndim):
         dv = np.asarray(disp, dtype=np.int64)
         touched = _box_of_coord(lat, p + dv * reach)
         a_t = lat.spacings[touched]
         a_max = np.maximum(a_max, a_t)
-        a_min = np.minimum(a_min, a_t)
+        a_gcd = np.gcd(a_gcd, a_t)
         differs |= a_t != a_own
-    return a_max, a_min, differs
+    return a_max, a_gcd, differs
 
 
 def _displacements(d: int, ndim: int) -> np.ndarray:
@@ -428,19 +435,19 @@ def find_neighbors(
     q = len(idx)
     nd = lat.ndim
     a_own = lat.spacings[lat.box_of_point[idx]]
-    local_a, local_amin, differs = _local_max_spacing(lat, idx, d)
+    local_a, local_agcd, differs = _local_max_spacing(lat, idx, d)
 
     disp_unit = _displacements(d, nd)  # ((2d+1)^nd - 1, nd)
     s_fast = disp_unit.shape[0]
 
     # Every lattice coordinate is a multiple of its box spacing (box corners
-    # are multiples of n_per_box, which every power-of-two spacing divides),
-    # so within a point's search cube all existing points sit on the local
-    # minimum-spacing sublattice: the edge scan steps by a_min instead of 1.
+    # are multiples of n_per_box, which every spacing divides), so any
+    # neighbor's offset from the query point is a multiple of the GCD of the
+    # touched spacings: the edge scan steps by that GCD instead of 1.
     # Identical results to the fine scan (skipped offsets can never hit a
-    # point), but (a_max/a_min)^nd fewer candidates — the difference between
+    # point), but (a_max/gcd)^nd fewer candidates — the difference between
     # intractable (17^6) and cheap (5^6) in 6-D.
-    ratio = d * local_a // np.maximum(local_amin, 1)
+    ratio = d * local_a // np.maximum(local_agcd, 1)
     k_edge = int((2 * ratio.max() + 1) ** nd - 1) if differs.any() else 0
     k = max(s_fast, k_edge)
 
@@ -462,11 +469,11 @@ def find_neighbors(
     if differs.any():
         ei_all = np.nonzero(differs)[0]
         rs = d * local_a
-        key = rs * (local_a.max() + 1) + local_amin
+        key = rs * (local_a.max() + 1) + local_agcd
         for kk in np.unique(key[ei_all]):
             sel = ei_all[key[ei_all] == kk]
             r = int(rs[sel[0]])
-            step = int(local_amin[sel[0]])
+            step = int(local_agcd[sel[0]])
             cube = step * _displacements(r // step, nd)  # (C, nd)
             for lo in range(0, len(sel), chunk):
                 ii = sel[lo : lo + chunk]

@@ -61,9 +61,10 @@ def eigsh(
     ``block_size > 1`` runs BLOCK Lanczos (solver.block): the recurrence
     advances a (M, b) panel per step through ``op.matmat``, resolving
     degenerate multiplets up to b that single-vector Lanczos cannot
-    (SURVEY.md §7.7); ``n`` then counts Krylov VECTORS (rounded down to a
-    whole number of blocks).  reorth/ghost options apply to the
-    single-vector path only.
+    (SURVEY.md §7.7); ``n`` then counts Krylov VECTORS (rounded UP to a
+    whole number of blocks so at least k vectors exist).  reorth/ghost
+    options apply to the single-vector path only; ``v0`` and ``compensated``
+    are rejected with ``block_size > 1``.
 
     ``ghost_filter`` defaults to True when reorthogonalization is not "full"
     (without full reorth, spurious copies of converged eigenvalues appear and
@@ -85,7 +86,20 @@ def eigsh(
     if block_size > 1:
         from .block import block_lanczos, block_ritz
 
-        num_blocks = max(n // block_size, 2)
+        if v0 is not None:
+            raise ValueError("v0 is not supported with block_size > 1")
+        if compensated:
+            raise ValueError("compensated is not supported with block_size > 1")
+        # Krylov dimension must cover k: ceil over blocks, capped at the
+        # operator dimension (ADVICE r2: n//block_size can silently yield < k
+        # vectors, e.g. k=10, n=10, block_size=3 -> 9).
+        num_blocks = max(-(-max(n, k) // block_size), 2)
+        num_blocks = min(num_blocks, max(m // block_size, 2))
+        if num_blocks * block_size < k:
+            raise ValueError(
+                f"block Krylov dimension {num_blocks * block_size} "
+                f"(block_size={block_size}, m={m}) cannot produce k={k} pairs"
+            )
         bfac = block_lanczos(
             op, num_blocks, block_size, seed=seed, dtype=dtype
         )

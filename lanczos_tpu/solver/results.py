@@ -67,14 +67,16 @@ class EigResult:
 
 @jax.jit
 def acceptance_inner_prod(op, X: jax.Array) -> jax.Array:
-    """<(Ax/||Ax||), x>^2 per column of X — the reference's eigvec check."""
+    """<(Ax/||Ax||), x>^2 per column of X — the reference's eigvec check.
 
-    def one(x):
-        ax = op.matvec(x)
-        ax = ax / jnp.linalg.norm(ax)
-        return jnp.dot(ax, x, precision=jax.lax.Precision.HIGHEST) ** 2
-
-    return jax.vmap(one, in_axes=1)(X)
+    Uses op.matmat (sequenced kernel calls), NOT vmap(op.matvec): vmap of a
+    pallas_call batches its BlockSpecs, which the Mosaic lowering rejects for
+    the flat-layout stencil kernel.
+    """
+    AX = op.matmat(X)
+    nrm = jnp.sqrt(jnp.sum(AX * AX, axis=0))
+    dots = jnp.sum(AX * X, axis=0)
+    return (dots / jnp.where(nrm > 0, nrm, 1.0)) ** 2
 
 
 def check_normalized(X, tol: float = 1e-3) -> float:

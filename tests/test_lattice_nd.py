@@ -168,3 +168,36 @@ def test_sparse_occupancy_matches_dense():
     n2, r2 = find_neighbors(sparse, 1, backend="numpy")
     np.testing.assert_array_equal(n1, n2)
     np.testing.assert_array_equal(r1, r2)
+
+
+def test_mixed_nonpow2_spacings_gcd_step():
+    """ADVICE r2 (high): with mixed spacings {2, 3} the edge scan must step
+    by the GCD (=1 here) of the touched spacings, not their minimum (=2),
+    or every +-3 offset is silently dropped.  Compare against a brute-force
+    step-1 scan with identical semantics (exist + mirror filter)."""
+    nb = 9
+    sp = np.full(nb, 2, dtype=np.int64)
+    sp[4] = 3  # n_per_box = 6 divisible by both
+    lat = build_lattice(18, 25.0, 3, spacings=sp, ndim=2)
+    nbrs, rels = find_neighbors(lat, 1, backend="numpy")
+
+    from lanczos_tpu.models.lattice import _local_max_spacing
+
+    idx = np.arange(lat.num_points)
+    local_a, _, differs = _local_max_spacing(lat, idx, 1)
+    assert differs.any()
+    for i in np.nonzero(differs)[0]:
+        p = lat.coords[i]
+        r = int(local_a[i])
+        got = set()
+        for dx in range(-r, r + 1):
+            for dy in range(-r, r + 1):
+                if dx == 0 and dy == 0:
+                    continue
+                off = np.array([dx, dy])
+                if lat.lookup((p + off)[None])[0] >= 0 and (
+                    lat.lookup((p - off)[None])[0] >= 0
+                ):
+                    got.add((dx, dy))
+        have = {tuple(rr) for rr, nn in zip(rels[i], nbrs[i]) if nn >= 0}
+        assert have == got, f"point {i}: missing {got - have}, extra {have - got}"
