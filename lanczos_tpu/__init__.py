@@ -40,6 +40,7 @@ from .models.irrlap import laplacian_weights
 from .models.irr_hamiltonian import (
     assemble_irregular_hamiltonian,
     assemble_irregular_hamiltonian_composite,
+    assemble_irregular_hamiltonian_composite2,
 )
 from .solver.two_sided import two_sided_eigs, two_sided_lanczos
 from .solver.arnoldi import arnoldi, eigs_nonsym

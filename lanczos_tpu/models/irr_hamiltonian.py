@@ -224,6 +224,42 @@ def assemble_irregular_hamiltonian_composite(
     )
 
 
+def assemble_irregular_hamiltonian_composite2(
+    lat: IrregularLattice,
+    potential: Optional[Callable] = None,
+    *,
+    t_factor: Optional[float] = None,
+    rest_energy: float = DEUTERON_REDUCED_REST_ENERGY_MEV,
+    dtype=np.float32,
+):
+    """H = -T + V as a CompositeV2 (region-native strided irregular format).
+
+    Returns (op, idx_map): scatter lattice-order vectors into the operator's
+    region-native layout with ``v_op[idx_map] = v_lat`` and gather back with
+    ``v_op[idx_map]`` (see ops.composite2).  Numerically identical to the
+    padded-ELL assembly; roughly 2x the v1 composite SpMV throughput and
+    lattice-size-independent interface cost.
+    """
+    import jax
+
+    from ..ops.composite2 import build_composite_v2
+
+    if t_factor is None:
+        t_factor = kinetic_prefactor(lat.s, rest_energy)
+    nbrs, rels, weights = irregular_laplacian_rows(lat)
+    diag = t_factor * weights.sum(axis=1)
+    if potential is not None:
+        phys = lat.physical_coords()
+        with jax.default_device(jax.devices("cpu")[0]):
+            diag = diag + np.asarray(
+                jax.jit(potential)(*(phys[:, a] for a in range(lat.ndim))),
+                dtype=np.float64,
+            )
+    return build_composite_v2(
+        lat, nbrs, rels, weights, diag, scale=-t_factor, dtype=dtype
+    )
+
+
 def assemble_irregular_hamiltonian(
     lat: IrregularLattice,
     potential: Optional[Callable] = None,

@@ -1,0 +1,547 @@
+"""Composite multi-level operator, generation 2: region-native layout,
+per-level stencil kernels, and strided-slice interface classes.
+
+Why a second generation: v1 (ops/composite.py) applies each level's interior
+stencil over a STACK of boxes with explicitly exchanged halo faces, and its
+interface rows through bucketed block-ELL gathers.  The block gathers are the
+measured bottleneck (~134k fetches x ~2.7 ns on the P=139k deuteron lattice,
+~26x slower than the regular stencil SpMV).  v2 removes the gathers — and
+v1's per-box bookkeeping — by exploiting the same structure the reference's
+stencil cache proves exists (Irregular/Stencils.py:9-55: interface points
+fall into a small set of translation-equivalent stencil classes):
+
+* REGION-NATIVE VECTOR LAYOUT.  Each spacing level occupies a rectangular
+  region of its global coarse grid (its bounding box; the full periodic
+  torus when the level wraps).  The operator's vectors are the flat
+  concatenation of these regions, dead slots included — for torus-minus-box
+  lattices the holes are a few percent (the fine box is 1/(2^d) of a coarse
+  region), so basis memory/bandwidth barely grows, and the matvec needs NO
+  layout conversion at all: each level is a contiguous slice.
+
+* One regular-grid stencil application per level (the Pallas slab kernel on
+  TPU via its zero-relayout flat path, the roll/MXU path elsewhere).  Rows
+  whose stencil would read a site the level does not own are interface rows
+  by construction (different-spacing contact implies the reference's
+  mirror-filtered edge path, IrrGrid.py:97-137); their interior value is
+  masked off and replaced, so holes can hold anything.  Dead slots are
+  annihilated by the same mask: A e_dead = 0 exactly, and any start vector
+  multiplied by ``live_mask`` keeps the whole Krylov basis exactly zero
+  there (the dead lambda=0 modes never enter the computation).
+
+* Interface rows grouped by stencil SIGNATURE (displacement set + weights +
+  own spacing + per-tap source level).  The rows of one signature tile
+  rectangular affine grids (faces/edges/corners of the box structure); each
+  tap of a class is then one STATIC strided slice of the source level's
+  region (face-sized, vector-speed — measured ~0.6 us/op on v5e vs ~44 us
+  for the equivalent ``conv_general_dilated``, which was tried and
+  rejected), and the class result enters the output through one
+  interior-padded block add.  No gathers, no element scatters; cost is
+  O(classes * taps) tiny device ops, independent of lattice size.
+
+* Rows that defy the affine detection (mixed periodic wrap, tiny classes)
+  fall back to v1's bucketed block-ELL path; on production lattices this
+  tail is the O(m) edge/corner set.
+
+The operator is numerically identical to v1 / the padded-ELL assembly from
+the same rows (cross-checked in tests/test_composite2.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .composite import IFC_W, _block_ell_buckets
+from .operators import LinearOperator, StencilOperator
+
+__all__ = ["CompositeV2", "build_composite_v2"]
+
+
+# ---------------------------------------------------------------------------
+# Host-side geometry helpers
+
+
+def _try_grid(coords: np.ndarray):
+    """If coords (R, 3) form a full rectangular affine grid, return
+    (origin (3,), steps (3,), shape (3,)); else None.  Column order is the
+    lattice's (x, y, z)."""
+    origin = coords.min(axis=0)
+    steps = np.ones(3, dtype=np.int64)
+    shape = np.ones(3, dtype=np.int64)
+    pos = np.zeros_like(coords)
+    for a in range(3):
+        u = np.unique(coords[:, a])
+        shape[a] = len(u)
+        if len(u) > 1:
+            d = np.diff(u)
+            if (d != d[0]).any():
+                return None
+            steps[a] = d[0]
+        pos[:, a] = np.searchsorted(u, coords[:, a])
+    if int(np.prod(shape)) != len(coords):
+        return None
+    key = (pos[:, 2] * shape[1] + pos[:, 1]) * shape[0] + pos[:, 0]
+    if len(np.unique(key)) != len(coords):
+        return None
+    return origin, steps, shape
+
+
+def _detect_grids(coords: np.ndarray, max_pieces: int = 256) -> list:
+    """Decompose a point set into full rectangular affine grids.
+
+    Returns [(sel, origin, steps, shape), ...] with ``sel`` index arrays into
+    ``coords``; pieces that would exceed ``max_pieces`` are returned with
+    ``origin=None`` (callers route those to the ELL fallback).
+
+    Split strategy: value GAPS first (separates e.g. the two opposite faces
+    of a mirror-symmetric class, which share a signature but sit apart);
+    when gaps are uniform, PEEL the two extremal slabs off the axis with the
+    most distinct values — a box-shell class (the dominant interface shape)
+    then decomposes into its 6 faces + 12 edges + 8 corners, each a grid.
+    """
+    out = []
+    stack = [np.arange(len(coords))]
+    while stack:
+        sel = stack.pop()
+        sub = coords[sel]
+        g = _try_grid(sub)
+        if g is not None:
+            out.append((sel, *g))
+            continue
+        if len(out) + len(stack) >= max_pieces:
+            out.append((sel, None, None, None))  # give up -> fallback
+            continue
+        naxis = [len(np.unique(sub[:, a])) for a in range(3)]
+        a = int(np.argmax(naxis))
+        u = np.unique(sub[:, a])
+        d = np.diff(u)
+        if len(u) > 1 and (d > d.min()).any():
+            cuts = u[1:][d > d.min()]
+            groups = np.searchsorted(cuts, sub[:, a], side="right")
+            for gid in np.unique(groups):
+                stack.append(sel[groups == gid])
+        else:
+            # Peel {a = min}, {a = max}, middle; each piece loses distinct
+            # values along a, so this terminates.
+            lo = sub[:, a] == u[0]
+            hi = sub[:, a] == u[-1]
+            stack.append(sel[lo])
+            if u[0] != u[-1]:
+                stack.append(sel[hi])
+            mid = ~(lo | hi)
+            if mid.any():
+                stack.append(sel[mid])
+    return out
+
+
+def _axis_wrap_start(lo: int, hi: int, n: int):
+    """Uniform periodic wrap check for a tap along one axis: source values
+    span [lo, hi].  Returns the wrapped start or None on mixed wrap."""
+    if 0 <= lo and hi < n:
+        return lo
+    if -n <= lo and hi < 0:
+        return lo + n
+    if n <= lo and hi < 2 * n:
+        return lo - n
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Operator
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CompositeV2(LinearOperator):
+    """H = diag + per-level regular stencils + strided interface classes.
+
+    Vector layout: flat concatenation of the per-level grid regions (levels
+    ascending by spacing; within a region raster order, z slowest, x
+    fastest).  Dead slots (region sites with no lattice point) carry exact
+    zeros; scatter/gather lattice-order vectors through ``idx_map`` (host
+    side, returned by build_composite_v2) and mask start vectors with
+    ``live``.
+
+    Static geometry:
+
+    level_meta[l] = (a, grid_shape (3), start) — region slice
+        [start, start + prod(grid_shape)) of the operator vector.
+    grid_meta[i]  = (row_level, out_start (3), interior (3), acc_shape (3),
+        taps) with each tap (src_level, start (3), limit (3), stride (3)) —
+        a static strided slice of the source level's region, weighted by
+        ``grid_w[i]``'s entry; the class result enters the row level's
+        region at out_start with interior padding (stride-1 zeros between
+        rows).
+    """
+
+    diag: jax.Array  # (M,) 0 at dead slots
+    keep: jax.Array  # (M,) 1 live non-interface, 0 interface/dead
+    live: jax.Array  # (M,) 1 on slots holding a lattice point
+    level_ops: Tuple[StencilOperator, ...]
+    grid_w: Tuple[jax.Array, ...]  # per class, (T,) tap weights
+    ifc_buckets: Tuple[Tuple[jax.Array, jax.Array, jax.Array], ...]
+    level_meta: Tuple = dataclasses.field(metadata=dict(static=True))
+    grid_meta: Tuple = dataclasses.field(metadata=dict(static=True))
+    symmetric: bool = dataclasses.field(default=False, metadata=dict(static=True))
+
+    @property
+    def shape(self):
+        p = self.diag.shape[0]
+        return (p, p)
+
+    @property
+    def dtype(self):
+        return self.diag.dtype
+
+    def matvec(self, x):
+        x3 = []
+        y3 = []
+        for (a, gshape, start), op in zip(self.level_meta, self.level_ops):
+            vol = gshape[0] * gshape[1] * gshape[2]
+            xf = jax.lax.slice(x, (start,), (start + vol,))
+            xg = xf.reshape(gshape)
+            x3.append(xg)
+            k3 = jax.lax.slice(self.keep, (start,), (start + vol,)).reshape(
+                gshape
+            )
+            # Shaped input: the Pallas kernel relayouts to its internal
+            # (nz, ny*nx) form at the XLA level (Mosaic cannot shape-cast
+            # arbitrary 1D blocks in-kernel).  The mask zeroes interface
+            # rows (replaced below) and dead slots (annihilated).
+            y3.append(op.matvec(xg).reshape(gshape) * k3)
+        for (row_level, out_start, interior, acc_shape, taps), w in zip(
+            self.grid_meta, self.grid_w
+        ):
+            acc = None
+            for t, (src_level, start, limit, stride) in enumerate(taps):
+                sl = jax.lax.slice(x3[src_level], start, limit, stride)
+                term = w[t] * sl
+                acc = term if acc is None else acc + term
+            padded = jax.lax.pad(
+                acc, jnp.zeros((), acc.dtype), [(0, 0, i) for i in interior]
+            )
+            z0, y0, x0 = out_start
+            pz, py, px = padded.shape
+            y3[row_level] = (
+                y3[row_level]
+                .at[z0 : z0 + pz, y0 : y0 + py, x0 : x0 + px]
+                .add(padded)
+            )
+        y = jnp.concatenate([v.reshape(-1) for v in y3]) + self.diag * x
+        if self.ifc_buckets:
+            m = self.diag.shape[0]
+            pad = (-m) % IFC_W
+            xp = jnp.pad(x, (0, pad)) if pad else x
+            xb = xp.reshape(-1, IFC_W)
+            for rows, blk_ids, blk_w in self.ifc_buckets:
+                g = xb[blk_ids]
+                contrib = jnp.einsum(
+                    "rbw,rbw->r", blk_w, g, precision=jax.lax.Precision.HIGHEST
+                )
+                y = y.at[rows].add(contrib)
+        return y
+
+    def rmatvec(self, x):
+        if self.symmetric:
+            return self.matvec(x)
+        raise NotImplementedError(
+            "CompositeV2.rmatvec requires symmetric=True; use the v1 "
+            "CompositeOperator for generic non-symmetric operators"
+        )
+
+    def matmat(self, X):
+        return jax.lax.map(self.matvec, X.T).T
+
+
+# ---------------------------------------------------------------------------
+# Builder
+
+
+def build_composite_v2(
+    lat,
+    nbrs: np.ndarray,
+    rels: np.ndarray,
+    weights: np.ndarray,
+    diag: np.ndarray,
+    scale: float,
+    dtype=np.float32,
+    interior_weights=None,
+    symmetric: bool = False,
+    min_grid_rows: int = 16,
+) -> Tuple[CompositeV2, np.ndarray]:
+    """Build the v2 composite operator from assembled rows (same contract as
+    ops.composite.build_composite: inputs in lattice point order, off-diagonal
+    values ``scale * weights``, ``diag`` ready-made).
+
+    Returns (op, idx_map): ``idx_map`` (P,) gives each lattice point's slot
+    in the operator's region-native vector — scatter with
+    ``v_op = zeros(op.shape[0]); v_op[idx_map] = v_lat`` and gather with
+    ``v_lat = v_op[idx_map]`` (the operator vector is larger than P by the
+    dead region slots).
+
+    ``interior_weights``: optional ``a -> (26,)`` shared aligned-stencil
+    weights (product order over (dx, dy, dz), centre excluded, offsets scaled
+    by ``a``) — same contract as v1.
+
+    ``symmetric=True`` asserts H == H^T so rmatvec can alias matvec (e.g. the
+    graph Laplacian of scripts/northstar.py).
+    """
+    from ..models.irrlap import laplacian_weights
+    from ..models.lattice import _local_max_spacing
+
+    if lat.ndim != 3:
+        raise ValueError("composite operator requires a 3D lattice")
+    p = lat.num_points
+    n = lat.n_fine
+    bd = lat.box_depth
+    npb = lat.n_per_box
+    spac = np.asarray(lat.spacings, dtype=np.int64)
+    spac_of_point = spac[lat.box_of_point]
+
+    uniq_a = [int(a) for a in np.unique(spac)]
+    level_of_a = {a: i for i, a in enumerate(uniq_a)}
+
+    # ---- per-level regions and the lattice -> region-slot index map.
+    level_meta = []
+    level_org = []  # (3,) absolute level-unit origin of each region (z, y, x)
+    start = 0
+    for a in uniq_a:
+        m = npb // a
+        boxes = np.nonzero(spac == a)[0]
+        bc = np.stack(
+            [(boxes // bd**k) % bd for k in range(3)], axis=1
+        )  # (nbox, 3) columns (bx, by, bz)
+        occ = np.zeros((bd, bd, bd), dtype=bool)
+        occ[bc[:, 2], bc[:, 1], bc[:, 0]] = True
+        # Region: full axis when the level's boxes span it (periodic wrap
+        # through the domain boundary must land inside the region); else the
+        # bounding box.
+        org = np.zeros(3, dtype=np.int64)  # (z, y, x) level units
+        ext = np.zeros(3, dtype=np.int64)
+        for ax in range(3):  # axis 0 = z in occ
+            proj = occ.any(axis=tuple(i for i in range(3) if i != ax))
+            bmin = int(np.argmax(proj))
+            bmax = bd - 1 - int(np.argmax(proj[::-1]))
+            if bmin == 0 and bmax == bd - 1:
+                org[ax], ext[ax] = 0, bd * m
+            else:
+                org[ax], ext[ax] = bmin * m, (bmax - bmin + 1) * m
+        level_meta.append((a, tuple(int(v) for v in ext), start))
+        level_org.append(org)
+        start += int(np.prod(ext))
+    m_op = start
+
+    # lattice point -> operator slot
+    idx_map = np.empty(p, dtype=np.int64)
+    for li, ((a, ext, st), org) in enumerate(zip(level_meta, level_org)):
+        sel = np.nonzero(spac_of_point == a)[0]
+        lc = lat.coords[sel] // a  # columns (x, y, z)
+        gz = lc[:, 2] - org[0]
+        gy = lc[:, 1] - org[1]
+        gx = lc[:, 0] - org[2]
+        assert (gz >= 0).all() and (gz < ext[0]).all()
+        idx_map[sel] = st + (gz * ext[1] + gy) * ext[2] + gx
+
+    # ---- per-level interior stencil operators (27-pt, centre weight 0).
+    offs26 = np.array(
+        [v for v in itertools.product((-1, 0, 1), repeat=3) if any(v)],
+        dtype=np.int64,
+    )  # product order over (dx, dy, dz)
+    offs27_zyx = tuple(
+        (dz, dy, dx) for dz, dy, dx in itertools.product((-1, 0, 1), repeat=3)
+    )
+    level_ops = []
+    for a, gshape, st in level_meta:
+        if interior_weights is not None:
+            w26 = np.asarray(interior_weights(int(a)), dtype=np.float64)
+        else:
+            w26 = laplacian_weights((offs26 * a).astype(np.float64))
+        w_of = {tuple(o): scale * w for o, w in zip(map(tuple, offs26), w26)}
+        w27 = np.array(
+            [w_of.get((dx, dy, dz), 0.0) for dz, dy, dx in offs27_zyx]
+        )
+        counts = np.array([sum(o != 0 for o in off) for off in offs27_zyx])
+        graded = None
+        lad = []
+        for c in range(4):
+            wc = w27[counts == c]
+            if len(wc) and np.ptp(wc) == 0.0:
+                lad.append(float(wc[0]))
+            else:
+                lad = None
+                break
+        if lad is not None:
+            graded = tuple(lad)
+        level_ops.append(
+            StencilOperator(
+                weights=jnp.asarray(w27, dtype=dtype),
+                diag=None,
+                grid_shape=gshape,
+                offsets=offs27_zyx,
+                graded=graded,
+            )
+        )
+
+    # ---- interface rows and their signature classes.
+    _, _, differs = _local_max_spacing(lat, np.arange(p), 1)
+    deg = (nbrs >= 0).sum(axis=1)
+    interface = differs | (deg != 26)
+    rows_l = np.nonzero(interface)[0]
+
+    grid_meta = []
+    grid_w = []
+    fallback = []  # lattice row ids
+
+    if len(rows_l):
+        # Signature: (own spacing, sorted displacement set, weights, per-tap
+        # SOURCE level).  Including the source level splits geometric classes
+        # whose taps straddle levels differently by position (e.g. the
+        # corner taps of the shell ringing a fine box) into families whose
+        # taps each read exactly one level — the precondition for the
+        # conv-slab application.
+        sigs = {}
+        sub_n = nbrs[rows_l]
+        sub_r = rels[rows_l]
+        sub_w = weights[rows_l]
+        msk = sub_n >= 0
+        for i in range(len(rows_l)):
+            mi = msk[i]
+            r = sub_r[i][mi]
+            w = sub_w[i][mi]
+            lvl = spac_of_point[sub_n[i][mi]]
+            order = np.lexsort((r[:, 0], r[:, 1], r[:, 2]))
+            key = (
+                int(spac_of_point[rows_l[i]]),
+                r[order].astype(np.int32).tobytes(),
+                w[order].astype(np.float64).tobytes(),
+                lvl[order].astype(np.int32).tobytes(),
+            )
+            sigs.setdefault(key, []).append(i)
+
+        for (a_row, rbytes, wbytes, lbytes), members in sigs.items():
+            members = np.asarray(members)
+            taps_rel = np.frombuffer(rbytes, dtype=np.int32).reshape(-1, 3)
+            taps_w = np.frombuffer(wbytes, dtype=np.float64)
+            taps_lvl = np.frombuffer(lbytes, dtype=np.int32)
+            coords = lat.coords[rows_l[members]]
+            lr = level_of_a[a_row]
+            org_r = level_org[lr]
+            gshape_r = level_meta[lr][1]
+            for sel, origin, steps, shape in _detect_grids(coords):
+                if origin is None or len(sel) < min_grid_rows:
+                    fallback.extend(rows_l[members[sel]].tolist())
+                    continue
+                # Per-tap placement: grid-relative strided slice of the
+                # source level's region.
+                ok = True
+                taps = []
+                for t in range(len(taps_rel)):
+                    rel = taps_rel[t].astype(np.int64)
+                    a_src = int(taps_lvl[t])
+                    ls = level_of_a[a_src]
+                    start3 = np.zeros(3, dtype=np.int64)
+                    stride3 = np.zeros(3, dtype=np.int64)
+                    for ax in range(3):  # 0=z -> coords column 2-ax
+                        col = 2 - ax
+                        lo = int(origin[col] + rel[col])
+                        hi = lo + int(shape[col] - 1) * int(steps[col])
+                        s = _axis_wrap_start(lo, hi, n)
+                        st = int(steps[col]) if shape[col] > 1 else a_src
+                        if s is None or s % a_src or st % a_src:
+                            ok = False
+                            break
+                        start3[ax] = s // a_src - level_org[ls][ax]
+                        stride3[ax] = st // a_src
+                        if start3[ax] < 0 or (
+                            start3[ax] + (shape[col] - 1) * stride3[ax]
+                            >= level_meta[ls][1][ax]
+                        ):
+                            ok = False
+                            break
+                    if not ok:
+                        break
+                    limit = tuple(
+                        int(start3[ax] + (shape[2 - ax] - 1) * stride3[ax] + 1)
+                        for ax in range(3)
+                    )
+                    taps.append(
+                        (
+                            ls,
+                            tuple(int(v) for v in start3),
+                            limit,
+                            tuple(int(v) for v in stride3),
+                        )
+                    )
+                if not ok:
+                    fallback.extend(rows_l[members[sel]].tolist())
+                    continue
+                acc_shape = tuple(int(shape[2 - ax]) for ax in range(3))
+                out_start = []
+                interior = []
+                for ax in range(3):
+                    col = 2 - ax
+                    o = int(origin[col]) // a_row - int(org_r[ax])
+                    st = (int(steps[col]) // a_row) if shape[col] > 1 else 1
+                    out_start.append(o)
+                    interior.append(st - 1)
+                    assert 0 <= o and o + (shape[col] - 1) * st < gshape_r[ax]
+                grid_meta.append(
+                    (
+                        lr,
+                        tuple(out_start),
+                        tuple(interior),
+                        acc_shape,
+                        tuple(taps),
+                    )
+                )
+                grid_w.append(jnp.asarray(scale * taps_w, dtype=dtype))
+
+    # ---- masks and diagonal in region layout.
+    dt_np = np.dtype(dtype)
+    live = np.zeros(m_op, dtype=dt_np)
+    live[idx_map] = 1.0
+    keep = np.zeros(m_op, dtype=dt_np)
+    keep[idx_map] = 1.0
+    if len(rows_l):
+        keep[idx_map[rows_l]] = 0.0
+    diag_op = np.zeros(m_op, dtype=dt_np)
+    diag_op[idx_map] = diag
+
+    # ---- ELL fallback buckets (region-slot indexing, no diagonal, add).
+    if fallback:
+        fb = np.asarray(sorted(fallback), dtype=np.int64)
+        k_fb = int(deg[fb].max())
+        r = len(fb)
+        cols = np.tile(idx_map[fb][:, None], (1, k_fb))
+        vals = np.zeros((r, k_fb), dtype=np.float64)
+        emask = np.zeros((r, k_fb), dtype=bool)
+        sn = nbrs[fb]
+        sw = weights[fb]
+        mask = sn >= 0
+        rr, cc = np.nonzero(mask)
+        pos = np.concatenate([[0], np.cumsum(mask.sum(axis=1))])
+        within = np.arange(len(rr)) - pos[rr]
+        cols[rr, within] = idx_map[sn[rr, cc]]
+        vals[rr, within] = scale * sw[rr, cc]
+        emask[rr, within] = True
+        buckets = _block_ell_buckets(idx_map[fb], cols, vals, emask, dtype)
+    else:
+        buckets = ()
+
+    op = CompositeV2(
+        diag=jnp.asarray(diag_op),
+        keep=jnp.asarray(keep),
+        live=jnp.asarray(live),
+        level_ops=tuple(level_ops),
+        grid_w=tuple(grid_w),
+        ifc_buckets=buckets,
+        level_meta=tuple(level_meta),
+        grid_meta=tuple(grid_meta),
+        symmetric=symmetric,
+    )
+    return op, idx_map
