@@ -1,0 +1,398 @@
+"""Double-word eigenpair refinement: from the fp32 floor to 1e-8 residuals.
+
+Classical mixed-precision eigenvector refinement (Wilkinson; Dongarra 1982)
+restated for TPU double-word storage: given fp32-converged Ritz pairs
+(lam_i, x_i) sitting at the fp32 storage floor (~2.4e-7 TRUE relative
+residual), iterate
+
+    r_i   = A x_i - lam_i x_i          computed in DOUBLE-WORD (ops.dd):
+                                       the cancellation is exact to ~1e-14
+    lam_i = lam_i + x_i.r_i / x_i.x_i  double-word Rayleigh-quotient update
+    IN-SPAN: Rayleigh-Ritz ROTATION of the block in double-word arithmetic
+            (S = C + G Lam with C = X^T R small and G the dd Gram matrix;
+            host fp64 generalized eigh; dd rotation X <- X Z).  This is
+            what resolves NEAR-DEGENERATE clusters: fp32 vectors mix a
+            cluster with gap g at angle ~ eps32 ||A|| / g, stalling the
+            residual at ~g * theta, and no X-orthogonal correction can fix
+            it.
+    OUT-OF-SPAN: d_i := argmin ||(A - lam_i) d + r_i|| over span(X)^perp,
+            approximated by a few steps of BLOCK DEFLATED CG in plain fp32
+            (the correction is ~1e-7 small, so fp32 loses nothing), then
+            x_i <- renormalize_dd(x_i + d_i).
+
+Each outer round contracts both error components; two-three rounds take
+2.4e-7 to ~1e-9.  All vectors stay fp32 pairs; fp64 appears only in host
+k x k algebra.  The inner operator P (A - lam) P (P = I - X X^T) is
+positive semidefinite on range(P) as long as X spans the lowest k
+eigenvectors to fp32 accuracy; refining a few BUFFER pairs beyond the k
+reported ones keeps the deflation gap healthy when the spectrum is
+clustered.
+
+This is the designed route to BASELINE.md's 1e-8 north-star residual target
+— the reference gets there by running fp64 end-to-end on CPU
+(/root/reference/Python/Regular/Lanczos.py:75), which TPUs cannot do fast.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.compensated import dd_add, two_prod, two_sum
+from ..ops.dd import _dd_tree_lastaxis, matmat_dd
+
+__all__ = ["refine_eigenpairs_dd", "refine_eigenpairs_dd_hosted"]
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+
+def _jit_tpu_only(fn, **kw):
+    """jit on TPU; EAGER on CPU.
+
+    XLA:CPU contracts ``a*b + c`` into FMA across error-free-transform
+    boundaries under compilation (measured: a jitted dd residual degrades
+    from 1e-14 to 2e-8; optimization_barrier, bitcasts and the documented
+    XLA flags all fail to stop the LLVM-level contraction).  The TPU
+    compiler preserves the arithmetic bit-exactly, so the production path
+    stays compiled; CPU (the test backend) runs these few functions
+    eagerly at negligible cost.
+    """
+    import functools
+
+    jitted = jax.jit(fn, **kw)
+
+    @functools.wraps(fn)
+    def wrapper(*a, **k):
+        if jax.default_backend() == "cpu":
+            return fn(*a, **k)
+        return jitted(*a, **k)
+
+    return wrapper
+
+
+def _col_dots(A, B):
+    return jnp.sum(A * B, axis=0)
+
+
+@partial(jax.jit, static_argnames=("steps",))
+def _deflated_cg(op, X, lam, R, steps: int):
+    """Approximately solve P (A - lam_i) P d_i = -r_i for all columns.
+
+    X (M, k) the (near-orthonormal) current eigenvector block — deflation
+    basis; lam (k,) shifts; R (M, k) dd residual rounded to fp32.  Fixed
+    ``steps`` CG iterations, batched over columns with per-column scalars.
+    Plain fp32: the correction only needs ~1e-1 relative accuracy per outer
+    round to contract the outer error by ~10x.
+    """
+
+    def project(V):
+        C = jnp.dot(X.T, V, precision=_PREC)
+        return V - jnp.dot(X, C, precision=_PREC)
+
+    def apply(V):
+        W = op.matmat(V) - V * lam[None, :]
+        return project(W)
+
+    B = project(-R)
+    D = jnp.zeros_like(B)
+    Rc = B
+    Pv = Rc
+    rho = _col_dots(Rc, Rc)
+
+    def body(i, carry):
+        D, Rc, Pv, rho = carry
+        Ap = apply(Pv)
+        denom = _col_dots(Pv, Ap)
+        alpha = rho / jnp.where(denom != 0, denom, 1.0)
+        # Guard: if a column's curvature collapses (deflation imperfect),
+        # freeze that column rather than blowing it up.
+        alpha = jnp.where(denom > 0, alpha, 0.0)
+        D = D + Pv * alpha[None, :]
+        Rc_new = Rc - Ap * alpha[None, :]
+        rho_new = _col_dots(Rc_new, Rc_new)
+        beta = rho_new / jnp.where(rho != 0, rho, 1.0)
+        Pv = Rc_new + Pv * beta[None, :]
+        return D, Rc_new, Pv, rho_new
+
+    D, Rc, Pv, rho = jax.lax.fori_loop(0, steps, body, (D, Rc, Pv, rho))
+    return project(D)
+
+
+@_jit_tpu_only
+def _dd_residual(op, Xh, Xl, lam_h, lam_l):
+    """R = A X - lam X in double-word.
+
+    Returns (Rh, Rl, lam_corr, rel, C) with lam_corr = (x.r)/(x.x) per
+    column, rel = ||r|| / ||x||, and C = X^T R (fp32 — R is eps-small, so
+    plain dots carry ~1e-13 absolute accuracy) for the in-span rotation.
+    """
+    Yh, Yl = matmat_dd(op, Xh, Xl)
+    ph, pe = two_prod(lam_h[None, :], Xh)
+    Rh, Rl = dd_add(Yh, Yl, -ph, -pe)
+    low = lam_h[None, :] * Xl + lam_l[None, :] * Xh
+    s, e = two_sum(Rh, -low)
+    Rh, Rl = s, Rl + e
+    xr = _col_dots(Xh, Rh) + _col_dots(Xh, Rl) + _col_dots(Xl, Rh)
+    xx = _col_dots(Xh, Xh) + 2.0 * _col_dots(Xh, Xl)
+    # The norm must use the SUM of the words: under the massive y ~ lam*x
+    # cancellation the hi word alone carries ~eps*|x|-scale junk that the lo
+    # word cancels exactly.
+    rfl = Rh + Rl
+    rr = _col_dots(rfl, rfl)
+    C = (
+        jnp.dot(Xh.T, Rh, precision=_PREC)
+        + jnp.dot(Xh.T, Rl, precision=_PREC)
+        + jnp.dot(Xl.T, Rh, precision=_PREC)
+    )
+    return Rh, Rl, xr / xx, jnp.sqrt(rr / xx), C
+
+
+@_jit_tpu_only
+def _dd_gram(Xh, Xl):
+    """G = (Xh+Xl)^T (Xh+Xl) as a dd (k, k) pair — fp32 matmuls cannot see
+    the ~1e-7 off-diagonals under their ~1e-6 reduction noise at large M."""
+
+    def one(cols):
+        ah, al = cols  # (M,)
+        p, e = two_prod(ah[:, None], Xh)  # (M, k)
+        hi, lo = _dd_tree_lastaxis(p.T, e.T)
+        cross = jnp.sum(ah[:, None] * Xl + al[:, None] * Xh, axis=0)
+        s, e2 = two_sum(hi, cross)
+        return s, lo + e2
+
+    H, L = jax.lax.map(one, (Xh.T, Xl.T))
+    return H, L
+
+
+@_jit_tpu_only
+def _dd_rotate(Xh, Xl, Zh, Zl):
+    """X <- X Z in double-word (Z a (k, k) fp32 pair from host fp64).
+
+    A plain fp32 matmul would re-round every element to eps32, destroying
+    the dd precision; instead each output column accumulates its k exact
+    products through the dd tree (lax.map keeps the graph small).
+    """
+
+    def one(zc):
+        zh, zl = zc  # (k,)
+        p, e = two_prod(Xh, zh[None, :])  # (M, k)
+        hi, lo = _dd_tree_lastaxis(p, e)
+        cross = jnp.sum(Xh * zl[None, :] + Xl * zh[None, :], axis=1)
+        s, e2 = two_sum(hi, cross)
+        return s, lo + e2
+
+    H, L = jax.lax.map(one, (Zh.T, Zl.T))
+    return H.T, L.T
+
+
+@_jit_tpu_only
+def _dd_update(Xh, Xl, D):
+    """X <- (X + D) / ||X + D|| column-wise in double-word (D fp32-small)."""
+    s, e = two_sum(Xh, D)
+    Xh, Xl = s, Xl + e
+    nn = _col_dots(Xh, Xh) + 2.0 * _col_dots(Xh, Xl)
+    inv = 1.0 / jnp.sqrt(nn)
+    inv = inv * (1.5 - 0.5 * nn * inv * inv)  # one Newton step
+    ph, pe = two_prod(Xh, inv[None, :])
+    s, e = two_sum(ph, Xl * inv[None, :])
+    return s, pe + e
+
+
+@_jit_tpu_only
+def _dd_residual_cols(op, Xh, Xl, lam_h, lam_l):
+    """Chunked-column variant of _dd_residual without the C block."""
+    Yh, Yl = matmat_dd(op, Xh, Xl)
+    ph, pe = two_prod(lam_h[None, :], Xh)
+    Rh, Rl = dd_add(Yh, Yl, -ph, -pe)
+    low = lam_h[None, :] * Xl + lam_l[None, :] * Xh
+    s, e = two_sum(Rh, -low)
+    Rh, Rl = s, Rl + e
+    xr = _col_dots(Xh, Rh) + _col_dots(Xh, Rl) + _col_dots(Xl, Rh)
+    xx = _col_dots(Xh, Xh) + 2.0 * _col_dots(Xh, Xl)
+    # The norm must use the SUM of the words: under the massive y ~ lam*x
+    # cancellation the hi word alone carries ~eps*|x|-scale junk that the lo
+    # word cancels exactly.
+    rfl = Rh + Rl
+    rr = _col_dots(rfl, rfl)
+    return Rh, Rl, xr / xx, jnp.sqrt(rr / xx)
+
+
+def refine_eigenpairs_dd_hosted(
+    op,
+    lam: np.ndarray,
+    X64: np.ndarray,
+    *,
+    tol: float = 1e-8,
+    max_rounds: int = 4,
+    cg_steps: int = 200,
+    col_chunk: int = 16,
+    verbose: bool = False,
+):
+    """Memory-lean refinement for north-star scale (M ~ 1e7, k ~ 100).
+
+    The authoritative eigenvector block lives on the HOST in fp64 (the
+    reference's native precision; M*k*8 bytes of host RAM), while all O(M)
+    compute runs on-device in fp32 pairs, ``col_chunk`` columns at a time —
+    device peak is one full fp32 block (deflation basis) plus chunk-sized
+    work arrays, ~half of a v5e's HBM at M = 13M, k = 110.  The k x k
+    rotation algebra runs in host fp64 BLAS (O(M k^2), seconds).
+
+    Same math as refine_eigenpairs_dd; returns (lam, X64, rel) with X64
+    updated in place.
+    """
+    import scipy.linalg
+
+    lam = np.asarray(lam, np.float64).copy()
+    X64 = np.asarray(X64, np.float64)
+    m, k = X64.shape
+    rel = None
+
+    def chunked_residual(collect_C, Xh_dev):
+        nonlocal lam
+        C = np.zeros((k, k)) if collect_C else None
+        corr = np.zeros(k)
+        relr = np.zeros(k)
+        R_chunks = []
+        for lo in range(0, k, col_chunk):
+            hi = min(lo + col_chunk, k)
+            Xc = X64[:, lo:hi]
+            Xh = jnp.asarray(Xc.astype(np.float32))
+            Xl = jnp.asarray((Xc - np.asarray(Xh, np.float64)).astype(np.float32))
+            lh, ll = _split_vec(lam[lo:hi])
+            Rh, Rl, c_, r_ = _dd_residual_cols(op, Xh, Xl, lh, ll)
+            corr[lo:hi] = np.asarray(c_, np.float64)
+            relr[lo:hi] = np.asarray(r_, np.float64)
+            R32 = Rh + Rl
+            if collect_C:
+                C[:, lo:hi] = np.asarray(
+                    jnp.dot(Xh_dev.T, R32, precision=_PREC), np.float64
+                )
+            # Host-side staging: keeping all chunks device-resident would
+            # add a second full (M, k) block to HBM.
+            R_chunks.append(np.asarray(R32, np.float32))
+        return corr, relr, C, R_chunks
+
+    for rnd in range(max_rounds):
+        Xh_dev = jnp.asarray(X64.astype(np.float32))
+        corr, relr, C, _ = chunked_residual(True, Xh_dev)
+        lam_pre = lam.copy()  # the lambda R (and hence C) was computed at
+        lam = lam + corr
+        rel = relr / np.maximum(np.abs(lam), 1e-30)
+        if verbose:
+            print(f"refine_dd_hosted round {rnd}: max rel {rel.max():.3e}",
+                  flush=True)
+        if (rel < tol).all():
+            break
+        # ---- in-span rotation, host fp64 BLAS (S needs the pre-correction
+        # lambda: S_ij = C_ij + lam_j G_ij holds at the residual's lambda).
+        G = X64.T @ X64
+        S = C + G * lam_pre[None, :]
+        S = (S + S.T) / 2
+        G = (G + G.T) / 2
+        try:
+            mu, Z = scipy.linalg.eigh(S, G)
+        except np.linalg.LinAlgError:
+            mu, Z = scipy.linalg.eigh(S)
+        X64 = X64 @ Z
+        lam = mu
+        # ---- out-of-span correction, chunked CG against the rotated block.
+        Xh_dev = jnp.asarray(X64.astype(np.float32))
+        corr, relr, _, R_chunks = chunked_residual(False, None)
+        lam = lam + corr
+        lam32 = jnp.asarray(lam.astype(np.float32))
+        for ci, lo in enumerate(range(0, k, col_chunk)):
+            hi = min(lo + col_chunk, k)
+            D = _deflated_cg(
+                op, Xh_dev, lam32[lo:hi], jnp.asarray(R_chunks[ci]), cg_steps
+            )
+            X64[:, lo:hi] += np.asarray(D, np.float64)
+        X64 /= np.linalg.norm(X64, axis=0)[None, :]
+    corr, relr, _, _ = chunked_residual(False, None)
+    lam = lam + corr
+    rel = relr / np.maximum(np.abs(lam), 1e-30)
+    return lam, X64, rel
+
+
+def _split_mat(Z: np.ndarray):
+    h = Z.astype(np.float32)
+    l = (Z - h.astype(np.float64)).astype(np.float32)
+    return jnp.asarray(h), jnp.asarray(l)
+
+
+def _split_vec(v: np.ndarray):
+    h = v.astype(np.float32)
+    l = (v - h.astype(np.float64)).astype(np.float32)
+    return jnp.asarray(h), jnp.asarray(l)
+
+
+def refine_eigenpairs_dd(
+    op,
+    lam: np.ndarray,
+    X,
+    *,
+    tol: float = 1e-8,
+    max_rounds: int = 4,
+    cg_steps: int = 25,
+    verbose: bool = False,
+):
+    """Refine fp32 Ritz pairs to double-word accuracy.
+
+    op:   operator supporting matmat (fp32) and ops.dd matvec_dd.
+    lam:  (k,) eigenvalue estimates (fp64 host array).
+    X:    (M, k) fp32 eigenvector estimates, columns ~orthonormal.
+    tol:  target TRUE relative residual ||A x - lam x|| / (||x|| |lam|),
+          measured in double-word arithmetic.
+
+    Returns (lam_refined (k,) fp64, Xh, Xl, rel_resid (k,) fp64) — the
+    refined eigenvectors as a double-word pair (Xh is the fp32 rounding of
+    the refined vector; Xh + Xl carries ~2^-48 precision).
+    """
+    import scipy.linalg
+
+    Xh = jnp.asarray(X, jnp.float32)
+    Xl = jnp.zeros_like(Xh)
+    lam = np.asarray(lam, np.float64).copy()
+    rel = None
+    for rnd in range(max_rounds):
+        lam_h, lam_l = _split_vec(lam)
+        Rh, Rl, corr, relr, C = _dd_residual(op, Xh, Xl, lam_h, lam_l)
+        lam_pre = lam.copy()  # the lambda R (and hence C) was computed at
+        lam = lam + np.asarray(corr, np.float64)
+        rel = np.asarray(relr, np.float64) / np.maximum(np.abs(lam), 1e-30)
+        if verbose:
+            print(f"refine_dd round {rnd}: max rel resid {rel.max():.3e}")
+        if (rel < tol).all():
+            break
+        # ---- in-span Rayleigh-Ritz rotation (cluster mixing).
+        Gh, Gl = _dd_gram(Xh, Xl)
+        G = np.asarray(Gh, np.float64) + np.asarray(Gl, np.float64)
+        C64 = np.asarray(C, np.float64)
+        # S_ij = x_i^T A x_j = C_ij + lam_j G_ij holds for the lambda the
+        # residual was computed at; mixing in the corrected lambda leaves an
+        # O(residual) error in S that floors the rotation.
+        S = C64 + G * lam_pre[None, :]
+        S = (S + S.T) / 2
+        G = (G + G.T) / 2
+        try:
+            mu, Z = scipy.linalg.eigh(S, G)
+        except np.linalg.LinAlgError:
+            mu, Z = scipy.linalg.eigh(S)
+        Zh, Zl = _split_mat(Z)
+        Xh, Xl = _dd_rotate(Xh, Xl, Zh, Zl)
+        lam = mu
+        # ---- out-of-span correction at the rotated block.
+        lam_h, lam_l = _split_vec(lam)
+        Rh, Rl, corr, relr, _ = _dd_residual(op, Xh, Xl, lam_h, lam_l)
+        lam = lam + np.asarray(corr, np.float64)
+        D = _deflated_cg(op, Xh, jnp.asarray(lam.astype(np.float32)), Rh + Rl, cg_steps)
+        Xh, Xl = _dd_update(Xh, Xl, D)
+    # Final residual at the refined pairs.
+    lam_h, lam_l = _split_vec(lam)
+    _, _, corr, relr, _ = _dd_residual(op, Xh, Xl, lam_h, lam_l)
+    lam = lam + np.asarray(corr, np.float64)
+    rel = np.asarray(relr, np.float64) / np.maximum(np.abs(lam), 1e-30)
+    return lam, Xh, Xl, rel

@@ -104,8 +104,14 @@ def _cycle_kernel(
     return V, alpha, betas, u_next, beta_last
 
 
-@partial(jax.jit, static_argnames=("l", "m", "reorth_passes", "compensated"))
+@partial(
+    jax.jit,
+    static_argnames=("l", "m", "reorth_passes", "compensated"),
+    donate_argnums=(1,),
+)
 def _cycle_jit(op, V, u, sigma, l, m, reorth_passes, compensated=False):
+    # V is donated: at north-star scale the basis is half of HBM, and the
+    # caller always rebinds it to this function's result.
     return _cycle_kernel(
         op.matvec, V, u, sigma, l, m, reorth_passes=reorth_passes,
         dot=_resolve_dot(_default_dot, compensated),
@@ -169,13 +175,16 @@ def _refine_host(op, X):
     return lam, Xr * inv[None, :], np.asarray(resid, np.float64), Wr * inv[None, :]
 
 
-@partial(jax.jit, static_argnames=("l",))
+@partial(jax.jit, static_argnames=("l",), donate_argnums=(0,))
 def _ritz_update(V, evecs, l):
     """Lock the first l Ritz vectors into rows [0, l) of V (one matmul).
 
     Rows >= l are ZEROED: the next cycle's full-basis orthogonalization runs
     against every row of V, and stale vectors from the finished cycle would
-    wrongly deflate directions that are no longer in the basis.
+    wrongly deflate directions that are no longer in the basis.  V is
+    donated so the (m, M) buffer is not duplicated (the y intermediate plus
+    one live basis is the peak; an undonated input would add a second full
+    basis).
     """
     y = jnp.tensordot(
         evecs[:, :l].T, V[:-1], axes=1, precision=_PRECISION
@@ -203,6 +212,7 @@ def eigsh_restarted(
     verbose: bool = False,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 1,
+    rr_verify: bool = True,
 ) -> EigResult:
     """Thick-restart Lanczos for the k extremal eigenpairs.
 
@@ -219,6 +229,13 @@ def eigsh_restarted(
                exists.  Cycle state is only the locked block + restart vector
                ((l+1, M) — NOT the full (m+1, M) basis), the natural unit for
                k=100-class runs.
+    rr_verify: run the op-aware Rayleigh-Ritz verification/refinement loop
+               on convergence (default).  Disable at north-star scale, where
+               the verification's (M, k) X and W blocks alongside the basis
+               exceed HBM and the caller follows with the double-word
+               refinement (solver.refine) anyway — the result then carries
+               the locked Ritz block with ESTIMATED residuals and NaN
+               acceptance.
     """
     if which not in ("SA", "LA"):
         raise ValueError("which must be SA or LA")
@@ -305,6 +322,8 @@ def eigsh_restarted(
             )
         if not converged:
             continue
+        if not rr_verify:
+            break
 
         # The cheap estimate says converged — verify against the operator
         # itself.  In fp32 the arrowhead model drifts from A as lock-time
@@ -337,6 +356,19 @@ def eigsh_restarted(
         )  # sigma_i = x_i^T A u = (A x_i)^T u for the refreshed locked rows
         sigma = np.concatenate([sigma_k, np.asarray(sigma, np.float64)[k:]])
 
+    if not rr_verify:
+        # Locked Ritz block as-is: eigenvalues theta[:k] with the cheap
+        # |beta_m y[m]| residual ESTIMATES; acceptance left NaN (no extra
+        # (M, k) blocks are materialized).
+        vals = jnp.asarray(theta[:k])
+        vecs = V[:k].reshape(k, mdim).T
+        est = np.abs(theta[:k]) * np.asarray(history[-1] if history else np.nan)
+        return EigResult(
+            eigenvalues=vals,
+            eigenvectors=vecs,
+            residuals=jnp.asarray(np.broadcast_to(est, (k,)).copy()),
+            inner_prod=jnp.full((k,), jnp.nan, dtype=dtype),
+        )
     if refined is None:
         lam, Xr, tres, _ = _refine_host(op, V[:k].reshape(k, mdim).T)
         order = np.argsort(lam) if which == "SA" else np.argsort(-lam)

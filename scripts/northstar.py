@@ -1,21 +1,28 @@
-"""North-star run (BASELINE.md): k=100 eigenpairs of a multi-million-node
-irregular graph Laplacian on one TPU chip, vs scipy eigsh on the host.
+"""North-star run (BASELINE.md): k=100 eigenpairs of a 10M+-node irregular
+graph Laplacian to 1e-8 residual on one TPU chip, vs scipy eigsh on the host.
 
 The graph is the irregular multi-resolution lattice's neighbor graph
 (reference geometry: /root/reference/Python/Irregular/IrrGrid.py), made
 undirected by edge reciprocity (keep (i,j) iff both endpoints list each
-other), so L = D - A is exactly symmetric and the compensated thick-restart
-symmetric solver applies.  The operator runs as the composite multi-level
-format (ops/composite.py) on the chip in fp32 with compensated reductions;
-a +1 spectral shift keeps the relative-residual convergence criterion
-well-defined at the lambda=0 end (subtracted before reporting).
+other), so L = D - A is exactly symmetric.  Pipeline:
 
-Writes one JSON artifact (NORTHSTAR_r{round}.json) with build/solve
-timings, residual statistics (TRUE fp64 residuals computed on the host
-matrix), and the scipy eigsh comparison.
+1. CompositeV2 operator (ops/composite2.py): region-native layout, per-level
+   Pallas stencils, strided interface classes — integer coefficients, so the
+   fp32 operator is EXACT.
+2. fp32 compensated thick-restart Lanczos (solver/restart.py) for
+   k + buffer pairs down to the fp32 floor, with a live-masked start vector
+   (dead region slots stay exactly zero).
+3. Double-word refinement (solver/refine.py, host-anchored variant): breaks
+   the fp32 storage floor; residuals computed with error-free tap products.
+   A +1 spectral shift keeps the relative-residual criterion well-defined at
+   the lambda=0 end (subtracted before reporting): rel residual vs the
+   shifted eigenvalue ~ ABSOLUTE residual for the low modes.
+4. TRUE fp64 residuals on the host scipy matrix; scipy eigsh wall-clock race.
 
-Usage: python scripts/northstar.py [--n-fine 288] [--k 100] [--tol 1e-8]
-       [--scipy-timeout 900] [--out NORTHSTAR_r02.json]
+Writes one JSON artifact (NORTHSTAR_r{round}.json).
+
+Usage: python scripts/northstar.py [--n-fine 432] [--k 100] [--tol 1e-8]
+       [--scipy-timeout 1800] [--out NORTHSTAR_r03.json]
 """
 
 import argparse
@@ -42,7 +49,7 @@ def build_graph_laplacian_rows(n_fine: int, box_depth: int = 3):
     t_nbrs = time.time() - t0
 
     # Edge reciprocity: keep (i -> j) only if (j -> i) exists.  Vectorized
-    # membership test on sorted (min, max, i<j?) edge keys.
+    # membership test on sorted edge keys.
     t0 = time.time()
     p, k = nbrs.shape
     rows = np.repeat(np.arange(p, dtype=np.int64), k)
@@ -51,8 +58,7 @@ def build_graph_laplacian_rows(n_fine: int, box_depth: int = 3):
     rows_v, cols_v = rows[valid], cols[valid]
     fwd = rows_v * p + cols_v
     bwd = np.sort(cols_v * p + rows_v)
-    pos = np.searchsorted(bwd, fwd)
-    pos = np.minimum(pos, len(bwd) - 1)
+    pos = np.minimum(np.searchsorted(bwd, fwd), len(bwd) - 1)
     recip = bwd[pos] == fwd
     keep = np.zeros(rows.shape[0], dtype=bool)
     keep[valid] = recip
@@ -67,34 +73,42 @@ def build_graph_laplacian_rows(n_fine: int, box_depth: int = 3):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-fine", type=int, default=288)
+    ap.add_argument("--n-fine", type=int, default=432)
     ap.add_argument("--box-depth", type=int, default=3)
     ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--k-buffer", type=int, default=10)
     ap.add_argument("--tol", type=float, default=1e-8)
-    ap.add_argument("--max-cycles", type=int, default=60)
-    ap.add_argument("--scipy-timeout", type=float, default=900.0)
+    ap.add_argument("--fp32-tol", type=float, default=3e-7)
+    ap.add_argument("--max-basis", type=int, default=0)
+    ap.add_argument("--n-locked", type=int, default=0)
+    ap.add_argument("--max-cycles", type=int, default=400)
+    ap.add_argument("--refine-rounds", type=int, default=4)
+    ap.add_argument("--cg-steps", type=int, default=200)
+    ap.add_argument("--scipy-timeout", type=float, default=1800.0)
     ap.add_argument("--skip-scipy", action="store_true")
-    ap.add_argument("--out", default="NORTHSTAR_r02.json")
+    ap.add_argument("--skip-refine", action="store_true")
+    ap.add_argument("--out", default="NORTHSTAR_r03.json")
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
-    from lanczos_tpu.ops.composite import build_composite
+    from lanczos_tpu.ops.composite2 import build_composite_v2
+    from lanczos_tpu.solver.refine import refine_eigenpairs_dd_hosted
     from lanczos_tpu.solver.restart import eigsh_restarted
 
     if os.environ.get("NORTHSTAR_CPU"):
         jax.config.update("jax_platforms", "cpu")
 
-    # NOTE: jax.default_backend() (first backend touch — on this machine a
-    # TPU-tunnel grant that can take minutes when stale) is deferred until
-    # after the host-side graph build below.
+    kk = args.k + args.k_buffer
     info = {
         "problem": "irregular lattice graph Laplacian, k smallest",
         "n_fine": args.n_fine,
         "box_depth": args.box_depth,
         "k": args.k,
+        "k_buffer": args.k_buffer,
         "tol": args.tol,
-        "dtype": "float32",
+        "dtype": "float32 (+ double-word refinement)",
         "compensated": True,
     }
     print(f"[northstar] building lattice N={args.n_fine} ...", flush=True)
@@ -110,34 +124,76 @@ def main():
     info["backend"] = jax.default_backend()
     shift = 1.0
     t0 = time.time()
-    comp, perm = build_composite(
+    comp, idx_map = build_composite_v2(
         lat, nbrs, rels, weights, deg + shift, scale=1.0, dtype=np.float32,
-        interior_weights=lambda a: np.full(26, -1.0),
+        interior_weights=lambda a: np.full(26, -1.0), symmetric=True,
     )
+    m_op = comp.shape[0]
     info["t_build_composite_s"] = time.time() - t0
-    print(f"[northstar] composite built in {info['t_build_composite_s']:.1f}s",
-          flush=True)
+    info["m_operator"] = int(m_op)
+    info["n_interface_classes"] = len(comp.grid_meta)
+    print(f"[northstar] composite v2 built in {info['t_build_composite_s']:.1f}s "
+          f"(M={m_op}, {len(comp.grid_meta)} classes)", flush=True)
 
+    # fp32 compensated thick restart with a live-masked start vector.
+    max_basis = args.max_basis or min(2 * kk + 30, 144 if p > 4e6 else 2 * kk + 30)
+    n_locked = args.n_locked or min(kk + 4, max_basis - 2)
+    info["max_basis"] = max_basis
+    info["n_locked"] = n_locked
+    rng = np.random.default_rng(99)
+    v0 = np.zeros(m_op, dtype=np.float32)
+    v0[idx_map] = rng.uniform(-1, 1, size=p).astype(np.float32)
     t0 = time.time()
     res = eigsh_restarted(
         comp,
-        k=args.k,
-        tol=args.tol,
+        k=kk,
+        tol=args.fp32_tol,
         which="SA",
         dtype="float32",
+        v0=jnp.asarray(v0),
         compensated=True,
+        max_basis=max_basis,
+        n_locked=n_locked,
         max_cycles=args.max_cycles,
+        rr_verify=False,
         verbose=True,
     )
-    vals32 = np.asarray(res.eigenvalues, dtype=np.float64)
-    X = np.asarray(res.eigenvectors, dtype=np.float64)
-    info["t_solve_s"] = time.time() - t0
-    info["solver_residual_max"] = float(np.max(np.asarray(res.residuals)))
-    print(f"[northstar] solve {info['t_solve_s']:.1f}s "
-          f"est-resid max {info['solver_residual_max']:.2e}", flush=True)
+    info["t_solve_fp32_s"] = time.time() - t0
+    lam32 = np.asarray(res.eigenvalues, np.float64)
+    print(f"[northstar] fp32 solve {info['t_solve_fp32_s']:.1f}s "
+          f"lam[0]={lam32[0]:.9g}", flush=True)
 
-    # TRUE residuals in fp64 on the host matrix (oracle arithmetic).
+    # Double-word refinement (host-anchored fp64 master, chunked fp32-pair
+    # device compute).
+    X64 = np.asarray(res.eigenvectors, np.float64)
+    del res
+    if args.skip_refine:
+        lam = lam32
+        rel = np.full(kk, np.nan)
+        info["t_refine_s"] = 0.0
+    else:
+        t0 = time.time()
+        lam, X64, rel = refine_eigenpairs_dd_hosted(
+            comp, lam32, X64,
+            tol=args.tol,
+            max_rounds=args.refine_rounds,
+            cg_steps=args.cg_steps,
+            verbose=True,
+        )
+        info["t_refine_s"] = time.time() - t0
+        print(f"[northstar] dd refine {info['t_refine_s']:.1f}s "
+              f"max rel {np.nanmax(rel):.2e}", flush=True)
+    info["t_solve_s"] = info["t_solve_fp32_s"] + info["t_refine_s"]
+    info["refine_rel_residual_max"] = float(np.nanmax(rel))
+
+    # TRUE residuals in fp64 on the host matrix (oracle arithmetic),
+    # reported for the FIRST k pairs (the buffer pairs guard the deflation
+    # window and are dropped).
     import scipy.sparse
+
+    order = np.argsort(lam)[: args.k]
+    lam_k = lam[order]
+    Xl_k = X64[:, order][idx_map, :]  # lattice-order vectors
 
     rows = np.repeat(np.arange(p, dtype=np.int64), nbrs.shape[1])
     cols = nbrs.reshape(-1)
@@ -146,30 +202,26 @@ def main():
         (np.ones(m_valid.sum()), (rows[m_valid], cols[m_valid])), shape=(p, p)
     )
     L = scipy.sparse.diags(deg) - A  # unshifted
-    asym = abs(L - L.T).max()
-    info["matrix_asymmetry"] = float(asym)
-    # X is in operator (level-major) order; L is in lattice order.
-    Xl = np.empty_like(X)
-    Xl[perm] = X
-    lam = vals32 - shift
-    R = L @ Xl - Xl * lam[None, :]
-    xn = np.linalg.norm(Xl, axis=0)
-    true_res = np.linalg.norm(R, axis=0) / np.maximum(xn, 1e-300) / np.maximum(
-        np.abs(lam), 1.0
-    )
-    info["eigenvalues_head"] = [float(v) for v in lam[:10]]
+    info["matrix_asymmetry"] = float(abs(L - L.T).max())
+    lam_rep = lam_k - shift
+    R = L @ Xl_k - Xl_k * lam_rep[None, :]
+    xn = np.linalg.norm(Xl_k, axis=0)
+    rnorm = np.linalg.norm(R, axis=0) / np.maximum(xn, 1e-300)
+    true_res = rnorm / np.maximum(np.abs(lam_rep), 1.0)
+    info["eigenvalues_head"] = [float(v) for v in lam_rep[:10]]
     info["true_residual_max"] = float(true_res.max())
     info["true_residual_median"] = float(np.median(true_res))
     info["pairs_below_1e-6"] = int((true_res < 1e-6).sum())
     info["pairs_below_1e-7"] = int((true_res < 1e-7).sum())
+    info["pairs_below_1e-8"] = int((true_res < 1e-8).sum())
     # scipy-style normalization (relative to the operator norm, the tol
     # ARPACK itself uses): ||Lx - lam x|| / (||x|| ||L||).
     l_norm = float(abs(L).sum(axis=1).max())  # inf-norm bound
-    res_opnorm = np.linalg.norm(R, axis=0) / np.maximum(xn, 1e-300) / l_norm
+    res_opnorm = rnorm / l_norm
     info["operator_norm_bound"] = l_norm
     info["resid_over_opnorm_max"] = float(res_opnorm.max())
     info["resid_over_opnorm_median"] = float(np.median(res_opnorm))
-    print(f"[northstar] true residuals: max {true_res.max():.2e} "
+    print(f"[northstar] true residuals (k={args.k}): max {true_res.max():.2e} "
           f"median {np.median(true_res):.2e} "
           f"(/||L||: {res_opnorm.max():.2e})", flush=True)
 
@@ -196,6 +248,10 @@ def main():
             info["scipy_note"] = (
                 f"did not finish within {args.scipy_timeout:.0f}s"
             )
+            info["speedup_vs_scipy"] = float(
+                args.scipy_timeout / info["t_solve_s"]
+            )
+            info["speedup_note"] = "lower bound (scipy timed out)"
         else:
             t_scipy, head = q.get()
             info["scipy_eigsh_s"] = t_scipy
@@ -207,7 +263,7 @@ def main():
         json.dump(info, f, indent=1)
     print(json.dumps({k: info[k] for k in (
         "num_points", "nnz", "t_solve_s", "true_residual_max",
-        "pairs_below_1e-6")}))
+        "pairs_below_1e-8")}))
     return 0
 
 
