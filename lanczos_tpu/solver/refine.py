@@ -230,9 +230,15 @@ def refine_eigenpairs_dd_hosted(
     max_rounds: int = 4,
     cg_steps: int = 200,
     col_chunk: int = 16,
+    k_report: int = 0,
     verbose: bool = False,
 ):
     """Memory-lean refinement for north-star scale (M ~ 1e7, k ~ 100).
+
+    ``k_report``: convergence is judged on the first k_report columns only
+    (0 = all): the trailing BUFFER pairs guard the deflation window and may
+    sit at a cluster edge that never reaches tol — they must not keep the
+    loop spinning after the reported pairs are done.
 
     The authoritative eigenvector block lives on the HOST in fp64 (the
     reference's native precision; M*k*8 bytes of host RAM), while all O(M)
@@ -282,10 +288,11 @@ def refine_eigenpairs_dd_hosted(
         lam_pre = lam.copy()  # the lambda R (and hence C) was computed at
         lam = lam + corr
         rel = relr / np.maximum(np.abs(lam), 1e-30)
+        kr = k_report or k
         if verbose:
-            print(f"refine_dd_hosted round {rnd}: max rel {rel.max():.3e}",
-                  flush=True)
-        if (rel < tol).all():
+            print(f"refine_dd_hosted round {rnd}: max rel {rel.max():.3e} "
+                  f"(first {kr}: {rel[:kr].max():.3e})", flush=True)
+        if (rel[:kr] < tol).all():
             break
         # ---- in-span rotation, host fp64 BLAS (S needs the pre-correction
         # lambda: S_ij = C_ij + lam_j G_ij holds at the residual's lambda).

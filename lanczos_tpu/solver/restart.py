@@ -254,6 +254,26 @@ def eigsh_restarted(
     vs = tuple(getattr(op, "vec_shape", (mdim,)))
     u = (v0 / jnp.linalg.norm(v0)).astype(dtype).reshape(vs)
     V = jnp.zeros((m + 1, *vs), dtype=dtype)
+
+    # Row-sharded operators (ops.composite.ShardedCompositeOperator): the
+    # matvec runs through its own shard_map; the dense basis algebra here
+    # partitions automatically under GSPMD once V/u carry the row sharding.
+    # Ghost slots (box padding) must stay exactly zero in the start vector.
+    from ..ops.composite import ShardedCompositeOperator
+
+    if isinstance(op, ShardedCompositeOperator):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        host = getattr(op, "host", None)
+        if host is not None:
+            u = u * jnp.asarray(host.live_mask(), dtype=dtype).reshape(vs)
+            u = u / jnp.linalg.norm(u)
+        u = jax.device_put(
+            u, NamedSharding(op.mesh, PartitionSpec(op.axis_name))
+        )
+        V = jax.device_put(
+            V, NamedSharding(op.mesh, PartitionSpec(None, op.axis_name))
+        )
     sigma = jnp.zeros((0,), dtype)
     theta = np.zeros(0)
     l = 0

@@ -83,6 +83,12 @@ def main():
     ap.add_argument("--n-locked", type=int, default=0)
     ap.add_argument("--max-cycles", type=int, default=400)
     ap.add_argument("--refine-rounds", type=int, default=4)
+    ap.add_argument(
+        "--min-grid-rows", type=int, default=4096,
+        help="interface pieces below this go to the block-ELL tail; keeps "
+        "the strided-class op count (and hence XLA compile time) bounded "
+        "at 10M+ scale",
+    )
     ap.add_argument("--cg-steps", type=int, default=200)
     ap.add_argument("--scipy-timeout", type=float, default=1800.0)
     ap.add_argument("--skip-scipy", action="store_true")
@@ -127,6 +133,7 @@ def main():
     comp, idx_map = build_composite_v2(
         lat, nbrs, rels, weights, deg + shift, scale=1.0, dtype=np.float32,
         interior_weights=lambda a: np.full(26, -1.0), symmetric=True,
+        min_grid_rows=args.min_grid_rows,
     )
     m_op = comp.shape[0]
     info["t_build_composite_s"] = time.time() - t0
@@ -178,6 +185,7 @@ def main():
             tol=args.tol,
             max_rounds=args.refine_rounds,
             cg_steps=args.cg_steps,
+            k_report=args.k,
             verbose=True,
         )
         info["t_refine_s"] = time.time() - t0

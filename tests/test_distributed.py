@@ -160,3 +160,36 @@ def test_sharded_stencil_pallas_path_matches(mesh):
     )
     y = np.asarray(mapped(H.weights, H.diag.reshape(-1), x))
     np.testing.assert_allclose(y, y_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_sharded_eigsh_restarted_matches(mesh):
+    """Thick-restart Lanczos on a row-sharded SYMMETRIC operator ==
+    single-device (the north-star engine's multi-chip form, SURVEY §7.8).
+    The regular stencil Hamiltonian is exactly symmetric; the sharded run
+    partitions the basis/vectors over the mesh under GSPMD."""
+    import lanczos_tpu as lt
+    from lanczos_tpu.solver.restart import eigsh_restarted
+
+    H = lt.build_regular_hamiltonian(
+        16, 25.0, lt.deuteron_potential_3d, stencil="27", dtype="float64"
+    )
+    Hs = shard_operator(H, mesh)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    m = H.shape[0]
+    v0 = np.random.default_rng(3).standard_normal(m)
+    res_1 = eigsh_restarted(
+        H, k=3, tol=1e-9, max_cycles=60, dtype="float64",
+        v0=jnp.asarray(v0),
+    )
+    v0_s = jax.device_put(
+        jnp.asarray(v0), NamedSharding(mesh, PartitionSpec("rows"))
+    )
+    res_s = eigsh_restarted(
+        Hs, k=3, tol=1e-9, max_cycles=60, dtype="float64", v0=v0_s
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_s.eigenvalues), np.asarray(res_1.eigenvalues),
+        rtol=1e-9, atol=1e-9,
+    )
+    assert float(np.max(np.asarray(res_s.residuals))) < 1e-8
