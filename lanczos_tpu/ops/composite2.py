@@ -255,7 +255,75 @@ class CompositeV2(LinearOperator):
         )
 
     def matmat(self, X):
-        return jax.lax.map(self.matvec, X.T).T
+        """Y = A X for (M, b) blocks, with the interface work AMORTIZED.
+
+        The per-level stencil genuinely needs b independent kernel passes
+        (each column reads its own x — nothing to share), but the
+        interface classes and ELL tail are op-COUNT-bound, not
+        traffic-bound: applying each tap slice to a (..., b) array serves
+        every column in the same ~0.6 us op.  SpMM(b=8) therefore costs
+        ~b x the (cheap) stencil part + 1 x the (dominant) interface part,
+        instead of b x everything as the naive per-column map would.
+        """
+        b = X.shape[1]
+        if b == 1:
+            return self.matvec(X[:, 0])[:, None]
+        x3 = []
+        y3 = []
+        for (a, gshape, start), op in zip(self.level_meta, self.level_ops):
+            vol = gshape[0] * gshape[1] * gshape[2]
+            xf = jax.lax.slice(X, (start, 0), (start + vol, b))
+            x3.append(xf.reshape(*gshape, b))
+            k3 = jax.lax.slice(self.keep, (start,), (start + vol,)).reshape(
+                gshape
+            )
+            cols = [
+                op.matvec(xf[:, j].reshape(gshape)).reshape(gshape)
+                for j in range(b)
+            ]
+            y3.append(jnp.stack(cols, axis=-1) * k3[..., None])
+        for (row_level, out_start, interior, acc_shape, taps), w in zip(
+            self.grid_meta, self.grid_w
+        ):
+            acc = None
+            for t, (src_level, start, limit, stride) in enumerate(taps):
+                sl = jax.lax.slice(
+                    x3[src_level],
+                    (*start, 0),
+                    (*limit, b),
+                    (*stride, 1),
+                )
+                term = w[t] * sl
+                acc = term if acc is None else acc + term
+            padded = jax.lax.pad(
+                acc,
+                jnp.zeros((), acc.dtype),
+                [(0, 0, i) for i in interior] + [(0, 0, 0)],
+            )
+            z0, y0, x0 = out_start
+            pz, py, px, _ = padded.shape
+            y3[row_level] = (
+                y3[row_level]
+                .at[z0 : z0 + pz, y0 : y0 + py, x0 : x0 + px, :]
+                .add(padded)
+            )
+        Y = jnp.concatenate([v.reshape(-1, b) for v in y3], axis=0)
+        Y = Y + self.diag[:, None] * X
+        if self.ifc_buckets:
+            m = self.diag.shape[0]
+            pad = (-m) % IFC_W
+            xp = jnp.pad(X, ((0, pad), (0, 0))) if pad else X
+            xb = xp.reshape(-1, IFC_W, b)
+            for rows, blk_ids, blk_w in self.ifc_buckets:
+                g = xb[blk_ids]  # (R, B, W, b)
+                contrib = jnp.einsum(
+                    "rbw,rbwc->rc",
+                    blk_w,
+                    g,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                Y = Y.at[rows].add(contrib)
+        return Y
 
 
 # ---------------------------------------------------------------------------
