@@ -1,0 +1,102 @@
+"""Irregular flagship artifact: the reference's production irregular run
+(Irr3Ddeuteron.py: N=120 fine grid, box_depth=3) on the TPU chip, through
+the composite operator + Krylov-Schur, with TRUE residuals recorded to a
+JSON artifact (VERDICT r2 weak #3: the r2 result existed only as a commit
+message).
+
+Usage: python scripts/irregular_flagship.py [--n-fine 120] [--k 8]
+       [--basis 300] [--out IRREGULAR_r03.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-fine", type=int, default=120)
+    ap.add_argument("--box-depth", type=int, default=3)
+    ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--basis", type=int, default=300)
+    ap.add_argument("--tol", type=float, default=1e-4)
+    ap.add_argument("--compensated", action="store_true", default=True)
+    ap.add_argument("--out", default="IRREGULAR_r03.json")
+    args = ap.parse_args()
+
+    import jax
+
+    import lanczos_tpu as lt
+    from lanczos_tpu.models.irr_hamiltonian import (
+        assemble_irregular_hamiltonian_composite,
+    )
+
+    info = {
+        "problem": "3D deuteron, multi-resolution lattice "
+                   "(Irr3Ddeuteron.py parity at production size)",
+        "n_fine": args.n_fine,
+        "box_depth": args.box_depth,
+        "k": args.k,
+        "max_basis": args.basis,
+        "dtype": "float32",
+        "compensated": bool(args.compensated),
+        "solver": "krylov-schur (composite operator)",
+    }
+    t0 = time.time()
+    lat = lt.build_lattice(
+        args.n_fine, 25.0, args.box_depth,
+        potential=lt.deuteron_potential_3d,
+    )
+    info["num_points"] = int(lat.num_points)
+    info["spacings"] = sorted(set(lat.spacings.tolist()))
+    info["t_lattice_s"] = time.time() - t0
+    print(f"[irr] lattice P={lat.num_points} spacings {info['spacings']} "
+          f"({info['t_lattice_s']:.1f}s)", flush=True)
+
+    t0 = time.time()
+    op, perm = assemble_irregular_hamiltonian_composite(
+        lat, lt.deuteron_potential_3d, dtype="float32"
+    )
+    info["t_assemble_s"] = time.time() - t0
+    info["backend"] = jax.default_backend()
+    print(f"[irr] composite built ({info['t_assemble_s']:.1f}s), "
+          f"backend={info['backend']}", flush=True)
+
+    t0 = time.time()
+    res = lt.eigs_nonsym(
+        op, k=args.k, max_basis=args.basis, tol=args.tol,
+        dtype="float32", compensated=args.compensated, verbose=True,
+    )
+    jax.block_until_ready(res.eigenvalues)
+    info["t_solve_s"] = time.time() - t0
+    vals = np.asarray(res.eigenvalues)
+    resid = np.asarray(res.residuals)
+    order = np.argsort(np.real(vals))
+    info["eigenvalues"] = [float(np.real(v)) for v in vals[order]]
+    info["true_rel_residuals"] = [float(r) for r in resid[order]]
+    info["residual_max"] = float(resid.max())
+    info["residual_min"] = float(resid.min())
+    # Reference acceptance: <(Hx/||Hx||), x>^2 within 0.01 of 1
+    # (Regular/Lanczos.py:166-185).
+    ip = np.asarray(res.inner_prod)
+    info["acceptance_inner_prod"] = [float(v) for v in ip[order]]
+    info["all_accepted_ref_tol"] = bool((np.abs(ip - 1.0) < 0.01).all())
+    print(f"[irr] solve {info['t_solve_s']:.1f}s; eigenvalues "
+          f"{info['eigenvalues'][:4]} ...; resid max {resid.max():.2e}",
+          flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(info, f, indent=1)
+    print(json.dumps({k: info[k] for k in (
+        "num_points", "t_solve_s", "residual_max", "all_accepted_ref_tol")}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -93,6 +93,9 @@ def main():
     ap.add_argument("--scipy-timeout", type=float, default=1800.0)
     ap.add_argument("--skip-scipy", action="store_true")
     ap.add_argument("--skip-refine", action="store_true")
+    ap.add_argument("--save-vectors", default="",
+                    help="npz path for (lam, X64 region-layout, idx_map) — "
+                    "enables continuing the refinement without re-solving")
     ap.add_argument("--out", default="NORTHSTAR_r03.json")
     args = ap.parse_args()
 
@@ -193,6 +196,8 @@ def main():
               f"max rel {np.nanmax(rel):.2e}", flush=True)
     info["t_solve_s"] = info["t_solve_fp32_s"] + info["t_refine_s"]
     info["refine_rel_residual_max"] = float(np.nanmax(rel))
+    if args.save_vectors:
+        np.savez(args.save_vectors, lam=lam, X64=X64, idx_map=idx_map)
 
     # TRUE residuals in fp64 on the host matrix (oracle arithmetic),
     # reported for the FIRST k pairs (the buffer pairs guard the deflation
