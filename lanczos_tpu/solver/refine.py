@@ -257,7 +257,7 @@ def refine_eigenpairs_dd_hosted(
     m, k = X64.shape
     rel = None
 
-    def chunked_residual(collect_C, Xh_dev):
+    def chunked_residual(collect_C):
         nonlocal lam
         C = np.zeros((k, k)) if collect_C else None
         corr = np.zeros(k)
@@ -272,19 +272,19 @@ def refine_eigenpairs_dd_hosted(
             Rh, Rl, c_, r_ = _dd_residual_cols(op, Xh, Xl, lh, ll)
             corr[lo:hi] = np.asarray(c_, np.float64)
             relr[lo:hi] = np.asarray(r_, np.float64)
-            R32 = Rh + Rl
-            if collect_C:
-                C[:, lo:hi] = np.asarray(
-                    jnp.dot(Xh_dev.T, R32, precision=_PREC), np.float64
-                )
             # Host-side staging: keeping all chunks device-resident would
             # add a second full (M, k) block to HBM.
-            R_chunks.append(np.asarray(R32, np.float32))
+            R32 = np.asarray(Rh + Rl, np.float32)
+            if collect_C:
+                # C = X^T R on the HOST — keeping a device-resident full X
+                # block during the dd residual pass was an on-chip OOM at
+                # M ~ 13M (R is eps-small, so BLAS accuracy suffices).
+                C[:, lo:hi] = X64.T @ R32
+            R_chunks.append(R32)
         return corr, relr, C, R_chunks
 
     for rnd in range(max_rounds):
-        Xh_dev = jnp.asarray(X64.astype(np.float32))
-        corr, relr, C, _ = chunked_residual(True, Xh_dev)
+        corr, relr, C, _ = chunked_residual(True)
         lam_pre = lam.copy()  # the lambda R (and hence C) was computed at
         lam = lam + corr
         rel = relr / np.maximum(np.abs(lam), 1e-30)
@@ -307,18 +307,21 @@ def refine_eigenpairs_dd_hosted(
         X64 = X64 @ Z
         lam = mu
         # ---- out-of-span correction, chunked CG against the rotated block.
-        Xh_dev = jnp.asarray(X64.astype(np.float32))
-        corr, relr, _, R_chunks = chunked_residual(False, None)
+        corr, relr, _, R_chunks = chunked_residual(False)
         lam = lam + corr
         lam32 = jnp.asarray(lam.astype(np.float32))
+        # The deflation block goes on-device only for the CG phase (and is
+        # dropped before the next round's dd residual pass).
+        Xh_dev = jnp.asarray(X64.astype(np.float32))
         for ci, lo in enumerate(range(0, k, col_chunk)):
             hi = min(lo + col_chunk, k)
             D = _deflated_cg(
                 op, Xh_dev, lam32[lo:hi], jnp.asarray(R_chunks[ci]), cg_steps
             )
             X64[:, lo:hi] += np.asarray(D, np.float64)
+        del Xh_dev
         X64 /= np.linalg.norm(X64, axis=0)[None, :]
-    corr, relr, _, _ = chunked_residual(False, None)
+    corr, relr, _, _ = chunked_residual(False)
     lam = lam + corr
     rel = relr / np.maximum(np.abs(lam), 1e-30)
     return lam, X64, rel

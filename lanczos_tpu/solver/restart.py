@@ -177,22 +177,39 @@ def _refine_host(op, X):
 
 @partial(jax.jit, static_argnames=("l",), donate_argnums=(0,))
 def _ritz_update(V, evecs, l):
-    """Lock the first l Ritz vectors into rows [0, l) of V (one matmul).
+    """Lock the first l Ritz vectors into rows [0, l) of V.
 
     Rows >= l are ZEROED: the next cycle's full-basis orthogonalization runs
     against every row of V, and stale vectors from the finished cycle would
-    wrongly deflate directions that are no longer in the basis.  V is
-    donated so the (m, M) buffer is not duplicated (the y intermediate plus
-    one live basis is the peak; an undonated input would add a second full
-    basis).
+    wrongly deflate directions that are no longer in the basis.
+
+    Memory: V is donated AND the rotation runs in COLUMN chunks updated in
+    place — a whole-basis ``y = E^T V`` intermediate plus old and new V
+    peaks at ~3 bases (21 GB at north-star scale, an on-chip OOM).  Each
+    chunk reads its own columns of the carry before overwriting them, so
+    XLA keeps a single basis buffer live.  Normalization happens on the
+    COEFFICIENT side: V's rows are orthonormal to ~eps, so ||y_i|| equals
+    ||evecs_i|| to the same accuracy (the per-cycle CGS2 reorthogonalization
+    is the drift guard, not this scaling).
     """
-    y = jnp.tensordot(
-        evecs[:, :l].T, V[:-1], axes=1, precision=_PRECISION
-    )  # (l, *vs)
-    vec_axes = tuple(range(1, y.ndim))
-    nrm = jnp.sqrt(jnp.sum(y * y, axis=vec_axes, keepdims=True))
-    y = y / jnp.where(nrm > 0, nrm, 1.0)
-    return jnp.zeros_like(V).at[:l].set(y)
+    m1 = V.shape[0]
+    vs = V.shape[1:]
+    mflat = int(np.prod(vs))
+    e = evecs[:, :l]
+    e = e / jnp.sqrt(jnp.sum(e * e, axis=0, keepdims=True))
+    et = e.T  # (l, m)
+    v2 = V.reshape(m1, mflat)
+    nchunk = max(1, min(16, mflat // (1 << 20) or 1))
+    bounds = [(mflat * i) // nchunk for i in range(nchunk + 1)]
+    zrows = m1 - l
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        if a == b:
+            continue
+        y_c = jnp.dot(et, jax.lax.slice(v2, (0, a), (m1 - 1, b)),
+                      precision=_PRECISION)
+        blk = jnp.concatenate([y_c, jnp.zeros((zrows, b - a), V.dtype)], axis=0)
+        v2 = jax.lax.dynamic_update_slice(v2, blk, (0, a))
+    return v2.reshape(m1, *vs)
 
 
 def eigsh_restarted(
@@ -381,7 +398,9 @@ def eigsh_restarted(
         # |beta_m y[m]| residual ESTIMATES; acceptance left NaN (no extra
         # (M, k) blocks are materialized).
         vals = jnp.asarray(theta[:k])
-        vecs = V[:k].reshape(k, mdim).T
+        # Transpose on the HOST: an on-device (M, k) transpose next to the
+        # (m, M) basis is an OOM at north-star scale (5.8 + 7.6 GB + scratch).
+        vecs = np.ascontiguousarray(np.asarray(V[:k].reshape(k, mdim)).T)
         est = np.abs(theta[:k]) * np.asarray(history[-1] if history else np.nan)
         return EigResult(
             eigenvalues=vals,

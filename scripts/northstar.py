@@ -83,6 +83,7 @@ def main():
     ap.add_argument("--n-locked", type=int, default=0)
     ap.add_argument("--max-cycles", type=int, default=400)
     ap.add_argument("--refine-rounds", type=int, default=4)
+    ap.add_argument("--col-chunk", type=int, default=8)
     ap.add_argument(
         "--min-grid-rows", type=int, default=4096,
         help="interface pieces below this go to the block-ELL tail; keeps "
@@ -188,6 +189,7 @@ def main():
             tol=args.tol,
             max_rounds=args.refine_rounds,
             cg_steps=args.cg_steps,
+            col_chunk=args.col_chunk,
             k_report=args.k,
             verbose=True,
         )
