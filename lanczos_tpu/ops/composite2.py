@@ -59,7 +59,54 @@ import numpy as np
 from .composite import IFC_W, _block_ell_buckets
 from .operators import LinearOperator, StencilOperator
 
-__all__ = ["CompositeV2", "build_composite_v2"]
+__all__ = ["CompositeV2", "build_composite_v2", "interface_apply_full"]
+
+
+def interface_apply_full(x3, x_flat, grid_meta, grid_w, level_meta, ifc_buckets):
+    """Interface contribution (strided classes + block-ELL tail) on FULL
+    per-level regions.
+
+    ``x3``: per-level 3D region arrays, correct at least on the interface
+    support slots (dead/non-support slots may hold anything the taps never
+    read); ``x_flat``: the level-major flat view of the same data (for the
+    ELL block gathers).  Returns the flat (M,) contribution vector — zero
+    outside interface rows.  Shared by the single-device operator and the
+    sharded SPMD body (parallel.composite2), which reconstructs ``x3`` from
+    the gathered surface runs and then calls this verbatim.
+    """
+    dtype = x_flat.dtype
+    y3 = [jnp.zeros(ext, dtype) for (a, ext, st) in level_meta]
+    for (row_level, out_start, interior, acc_shape, taps), w in zip(
+        grid_meta, grid_w
+    ):
+        acc = None
+        for t, (src_level, start, limit, stride) in enumerate(taps):
+            sl = jax.lax.slice(x3[src_level], start, limit, stride)
+            term = w[t] * sl
+            acc = term if acc is None else acc + term
+        padded = jax.lax.pad(
+            acc, jnp.zeros((), acc.dtype), [(0, 0, i) for i in interior]
+        )
+        z0, y0, x0 = out_start
+        pz, py, px = padded.shape
+        y3[row_level] = (
+            y3[row_level]
+            .at[z0 : z0 + pz, y0 : y0 + py, x0 : x0 + px]
+            .add(padded)
+        )
+    y = jnp.concatenate([v.reshape(-1) for v in y3])
+    if ifc_buckets:
+        m = y.shape[0]
+        pad = (-m) % IFC_W
+        xp = jnp.pad(x_flat, (0, pad)) if pad else x_flat
+        xb = xp.reshape(-1, IFC_W)
+        for rows, blk_ids, blk_w in ifc_buckets:
+            g = xb[blk_ids]
+            contrib = jnp.einsum(
+                "rbw,rbw->r", blk_w, g, precision=jax.lax.Precision.HIGHEST
+            )
+            y = y.at[rows].add(contrib)
+    return y
 
 
 # ---------------------------------------------------------------------------
@@ -212,39 +259,17 @@ class CompositeV2(LinearOperator):
             # Shaped input: the Pallas kernel relayouts to its internal
             # (nz, ny*nx) form at the XLA level (Mosaic cannot shape-cast
             # arbitrary 1D blocks in-kernel).  The mask zeroes interface
-            # rows (replaced below) and dead slots (annihilated).
+            # rows (replaced by interface_apply_full below) and dead slots
+            # (annihilated).
             y3.append(op.matvec(xg).reshape(gshape) * k3)
-        for (row_level, out_start, interior, acc_shape, taps), w in zip(
-            self.grid_meta, self.grid_w
-        ):
-            acc = None
-            for t, (src_level, start, limit, stride) in enumerate(taps):
-                sl = jax.lax.slice(x3[src_level], start, limit, stride)
-                term = w[t] * sl
-                acc = term if acc is None else acc + term
-            padded = jax.lax.pad(
-                acc, jnp.zeros((), acc.dtype), [(0, 0, i) for i in interior]
-            )
-            z0, y0, x0 = out_start
-            pz, py, px = padded.shape
-            y3[row_level] = (
-                y3[row_level]
-                .at[z0 : z0 + pz, y0 : y0 + py, x0 : x0 + px]
-                .add(padded)
-            )
         y = jnp.concatenate([v.reshape(-1) for v in y3]) + self.diag * x
-        if self.ifc_buckets:
-            m = self.diag.shape[0]
-            pad = (-m) % IFC_W
-            xp = jnp.pad(x, (0, pad)) if pad else x
-            xb = xp.reshape(-1, IFC_W)
-            for rows, blk_ids, blk_w in self.ifc_buckets:
-                g = xb[blk_ids]
-                contrib = jnp.einsum(
-                    "rbw,rbw->r", blk_w, g, precision=jax.lax.Precision.HIGHEST
-                )
-                y = y.at[rows].add(contrib)
-        return y
+        # Interface rows' stencil output is masked to exactly zero above, so
+        # adding the full interface contribution is bitwise-identical to
+        # writing it in place.
+        return y + interface_apply_full(
+            x3, x, self.grid_meta, self.grid_w, self.level_meta,
+            self.ifc_buckets,
+        )
 
     def rmatvec(self, x):
         if self.symmetric:
@@ -412,7 +437,11 @@ def build_composite_v2(
         gz = lc[:, 2] - org[0]
         gy = lc[:, 1] - org[1]
         gx = lc[:, 0] - org[2]
+        # Cheap host-side bounds check on ALL axes (ADVICE r3: a
+        # wrap-spanning bounding box would otherwise scatter silently).
         assert (gz >= 0).all() and (gz < ext[0]).all()
+        assert (gy >= 0).all() and (gy < ext[1]).all()
+        assert (gx >= 0).all() and (gx < ext[2]).all()
         idx_map[sel] = st + (gz * ext[1] + gy) * ext[2] + gx
 
     # ---- per-level interior stencil operators (27-pt, centre weight 0).

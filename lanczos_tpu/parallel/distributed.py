@@ -190,7 +190,15 @@ def shard_operator(op: LinearOperator, mesh: jax.sharding.Mesh, axis_name: str =
             offsets=op.offsets,
         )
     from ..ops.composite import CompositeOperator, shard_composite
+    from ..ops.composite2 import CompositeV2
 
+    if isinstance(op, CompositeV2):
+        # z-slab sharded regions + surface-run exchange; device-major
+        # layout differs from the level-major input — translate through
+        # ``.host`` (to_sharded/from_sharded/live_mask).
+        from .composite2 import shard_composite_v2
+
+        return shard_composite_v2(op, mesh, axis_name)
     if isinstance(op, CompositeOperator):
         # Boxes of every level re-partitioned device-major (ghost-padded);
         # NOTE the returned operator's vector layout differs from the

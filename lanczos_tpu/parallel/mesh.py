@@ -61,8 +61,20 @@ def initialize_distributed(
         local_device_ids = (
             [int(v) for v in env.split(",")] if env else None
         )
-    if not coordinator_address or not num_processes or num_processes <= 1:
-        return 1
+    if not coordinator_address and (not num_processes or num_processes <= 1):
+        return 1  # fully unset: single-process mode
+    if num_processes and num_processes > 1 and not coordinator_address:
+        raise ValueError(
+            f"JAX_NUM_PROCESSES={num_processes} but no coordinator address: "
+            "a misconfigured multi-host launch would silently solve on one "
+            "host's shard. Set JAX_COORDINATOR_ADDRESS (host:port)."
+        )
+    if coordinator_address and (not num_processes or num_processes <= 1):
+        raise ValueError(
+            "JAX_COORDINATOR_ADDRESS is set but JAX_NUM_PROCESSES is "
+            f"{num_processes!r}: set both (>=2) for a multi-host launch or "
+            "neither for single-process mode."
+        )
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

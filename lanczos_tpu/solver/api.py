@@ -93,8 +93,15 @@ def eigsh(
         # Krylov dimension must cover k: ceil over blocks, capped at the
         # operator dimension (ADVICE r2: n//block_size can silently yield < k
         # vectors, e.g. k=10, n=10, block_size=3 -> 9).
+        if m < 2 * block_size:
+            # The minimum 2-block basis would already exceed the operator
+            # dimension (ADVICE r3: flooring the cap at 2 defeated it).
+            raise ValueError(
+                f"operator dimension {m} is too small for block_size="
+                f"{block_size} (needs m >= {2 * block_size})"
+            )
         num_blocks = max(-(-max(n, k) // block_size), 2)
-        num_blocks = min(num_blocks, max(m // block_size, 2))
+        num_blocks = min(num_blocks, m // block_size)
         if num_blocks * block_size < k:
             raise ValueError(
                 f"block Krylov dimension {num_blocks * block_size} "

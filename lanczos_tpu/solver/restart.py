@@ -263,6 +263,14 @@ def eigsh_restarted(
     m = max_basis or max(2 * k + 30, k + 10)
     m = min(m, mdim)
     l_keep = min(n_locked or (k + min(10, m - k - 1)), m - 2)
+    if l_keep < k:
+        # On max_cycles exhaustion the locked block is all the caller gets
+        # back: theta would hold only l_keep < k entries and V[l_keep:k]
+        # zeros — fail fast instead (ADVICE r3).
+        raise ValueError(
+            f"n_locked={l_keep} < k={k}: the locked window must cover the "
+            f"requested pairs (raise n_locked or max_basis; m={m})"
+        )
 
     if v0 is None:
         v0 = jax.random.uniform(
@@ -272,13 +280,14 @@ def eigsh_restarted(
     u = (v0 / jnp.linalg.norm(v0)).astype(dtype).reshape(vs)
     V = jnp.zeros((m + 1, *vs), dtype=dtype)
 
-    # Row-sharded operators (ops.composite.ShardedCompositeOperator): the
-    # matvec runs through its own shard_map; the dense basis algebra here
-    # partitions automatically under GSPMD once V/u carry the row sharding.
-    # Ghost slots (box padding) must stay exactly zero in the start vector.
-    from ..ops.composite import ShardedCompositeOperator
-
-    if isinstance(op, ShardedCompositeOperator):
+    # Row-sharded operators (ops.composite.ShardedCompositeOperator,
+    # parallel.composite2.ShardedCompositeV2 — anything exposing mesh +
+    # axis_name): the matvec runs through its own shard_map; the dense
+    # basis algebra here partitions automatically under GSPMD once V/u
+    # carry the row sharding.  Ghost/dead slots (box padding, dead region
+    # slots) must stay exactly zero in the start vector.
+    op_mesh = getattr(op, "mesh", None)
+    if op_mesh is not None and getattr(op, "axis_name", None) is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
         host = getattr(op, "host", None)
@@ -286,10 +295,10 @@ def eigsh_restarted(
             u = u * jnp.asarray(host.live_mask(), dtype=dtype).reshape(vs)
             u = u / jnp.linalg.norm(u)
         u = jax.device_put(
-            u, NamedSharding(op.mesh, PartitionSpec(op.axis_name))
+            u, NamedSharding(op_mesh, PartitionSpec(op.axis_name))
         )
         V = jax.device_put(
-            V, NamedSharding(op.mesh, PartitionSpec(None, op.axis_name))
+            V, NamedSharding(op_mesh, PartitionSpec(None, op.axis_name))
         )
     sigma = jnp.zeros((0,), dtype)
     theta = np.zeros(0)

@@ -26,8 +26,12 @@ def main():
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--basis", type=int, default=300)
     ap.add_argument("--tol", type=float, default=1e-4)
-    ap.add_argument("--compensated", action="store_true", default=True)
-    ap.add_argument("--out", default="IRREGULAR_r03.json")
+    ap.add_argument(
+        "--compensated", action=argparse.BooleanOptionalAction, default=True,
+        help="compensated fp32 dots in the solver (--no-compensated to "
+        "disable; the recorded JSON setting matches the flag, ADVICE r3)",
+    )
+    ap.add_argument("--out", default="IRREGULAR_r04.json")
     args = ap.parse_args()
 
     import jax

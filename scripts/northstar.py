@@ -22,7 +22,7 @@ other), so L = D - A is exactly symmetric.  Pipeline:
 Writes one JSON artifact (NORTHSTAR_r{round}.json).
 
 Usage: python scripts/northstar.py [--n-fine 432] [--k 100] [--tol 1e-8]
-       [--scipy-timeout 1800] [--out NORTHSTAR_r03.json]
+       [--scipy-timeout 1800] [--out NORTHSTAR_r04.json]
 """
 
 import argparse
@@ -97,7 +97,7 @@ def main():
     ap.add_argument("--save-vectors", default="",
                     help="npz path for (lam, X64 region-layout, idx_map) — "
                     "enables continuing the refinement without re-solving")
-    ap.add_argument("--out", default="NORTHSTAR_r03.json")
+    ap.add_argument("--out", default="NORTHSTAR_r04.json")
     args = ap.parse_args()
 
     import jax

@@ -132,6 +132,133 @@ def test_sharded_composite_solve_matches(mesh, composite_pair):
     assert float(np.max(np.asarray(res.residuals))) < 1e-9
 
 
+@pytest.fixture(scope="module")
+def composite_v2_pair():
+    """Symmetric graph Laplacian on the mixed lattice (the north-star
+    operator family), sized so every level's z-extent divides 8 devices:
+    n=48, bd=3 -> fine region 16^3, coarse region 24^3."""
+    from lanczos_tpu.models.lattice import build_lattice, find_neighbors
+    from lanczos_tpu.ops.composite2 import build_composite_v2
+
+    bd = 3
+    sp = np.full(bd**3, 2, dtype=np.int64)
+    sp[bd**3 // 2] = 1
+    lat = build_lattice(48, 25.0, bd, spacings=sp)
+    nbrs, rels = find_neighbors(lat, 1)
+    p, k = nbrs.shape
+    rows = np.repeat(np.arange(p, dtype=np.int64), k)
+    cols = nbrs.reshape(-1)
+    valid = cols >= 0
+    fwd = rows[valid] * p + cols[valid]
+    bwd = np.sort(cols[valid] * p + rows[valid])
+    pos = np.minimum(np.searchsorted(bwd, fwd), len(bwd) - 1)
+    keep = np.zeros(len(rows), dtype=bool)
+    keep[valid] = bwd[pos] == fwd
+    keep = keep.reshape(p, k)
+    nbrs = np.where(keep, nbrs, -1)
+    weights = np.where(keep, -1.0, 0.0)
+    deg = keep.sum(axis=1).astype(np.float64)
+    comp, idx_map = build_composite_v2(
+        lat, nbrs, rels, weights, deg + 1.0, scale=1.0, dtype=np.float64,
+        interior_weights=lambda a: np.full(26, -1.0), symmetric=True,
+        min_grid_rows=4,
+    )
+    return comp, idx_map
+
+
+def test_sharded_composite_v2_matvec_matches(mesh, composite_v2_pair, rng):
+    """z-slab sharded CompositeV2 (ppermute level halos + surface-run
+    exchange) == single-device (VERDICT r3 missing #2).  degenerate_frac
+    forces the thin-run path (z-run psum + y/x-run all-gathers) even at
+    this test size, where the surface fraction would otherwise trip the
+    full-gather fallback."""
+    from lanczos_tpu.parallel.composite2 import shard_composite_v2
+
+    comp, idx_map = composite_v2_pair
+    op = shard_composite_v2(comp, mesh, degenerate_frac=10.0)
+    host = op.host
+    m = comp.shape[0]
+    x = rng.standard_normal(m) * np.asarray(comp.live)
+    y_ref = np.asarray(comp.matvec(jnp.asarray(x)))
+    y_sh = np.asarray(jax.jit(op.matvec)(jnp.asarray(host.to_sharded(x))))
+    np.testing.assert_allclose(host.from_sharded(y_sh), y_ref, atol=1e-11)
+    # the thin-run path is actually in play
+    for runs, (a, ext, st, sl, nzl) in zip(op.support_runs, op.level_meta):
+        assert runs != ((0, 0, ext[0]),), "degenerated to full all-gather"
+
+
+def test_support_planner_is_surface_proportional():
+    """Host-only: at production-like size the planned exchange volume is a
+    small (and shrinking) fraction of the operator — per-device traffic
+    ~ O(surface), not O(M) (VERDICT r3 missing #3, notes.tex:332)."""
+    from lanczos_tpu.models.lattice import build_lattice, find_neighbors
+    from lanczos_tpu.ops.composite2 import build_composite_v2
+    from lanczos_tpu.parallel.composite2 import _plan_support
+
+    fracs = {}
+    for n in (48, 96):
+        bd = 3
+        sp = np.full(bd**3, 2, dtype=np.int64)
+        sp[bd**3 // 2] = 1
+        lat = build_lattice(n, 25.0, bd, spacings=sp)
+        nbrs, rels = find_neighbors(lat, 1)
+        pp = lat.num_points
+        weights = np.where(nbrs >= 0, -1.0, 0.0)
+        deg = (nbrs >= 0).sum(axis=1).astype(np.float64)
+        comp, _ = build_composite_v2(
+            lat, nbrs, rels, weights, deg, scale=1.0, dtype=np.float64,
+            interior_weights=lambda a: np.full(26, -1.0), symmetric=True,
+            min_grid_rows=4,
+        )
+        runs, stats = _plan_support(comp, degenerate_frac=10.0)
+        fracs[n] = stats["run_volume"] / stats["total_volume"]
+    assert fracs[96] < 0.5, fracs
+    # halving the spacing-to-size ratio shrinks the exchanged fraction
+    assert fracs[96] < 0.72 * fracs[48], fracs
+
+
+def test_sharded_composite_v2_matmat_matches(mesh, composite_v2_pair, rng):
+    comp, _ = composite_v2_pair
+    op = shard_operator(comp, mesh)
+    host = op.host
+    m = comp.shape[0]
+    X = rng.standard_normal((m, 3))
+    Xs = np.stack([host.to_sharded(X[:, j]) for j in range(3)], axis=1)
+    Y_ref = np.asarray(comp.matmat(jnp.asarray(X)))
+    Y_sh = np.asarray(jax.jit(op.matmat)(jnp.asarray(Xs)))
+    for j in range(3):
+        np.testing.assert_allclose(
+            host.from_sharded(Y_sh[:, j]), Y_ref[:, j], atol=1e-11
+        )
+
+
+def test_sharded_composite_v2_restarted_solve_matches(mesh, composite_v2_pair):
+    """Thick-restart Lanczos over the sharded CompositeV2 == single-device
+    (the actual north-star production pipeline's multi-chip form)."""
+    from lanczos_tpu.solver.restart import eigsh_restarted
+
+    comp, idx_map = composite_v2_pair
+    op = shard_operator(comp, mesh)
+    host = op.host
+    m = comp.shape[0]
+    rng_ = np.random.default_rng(5)
+    v0 = rng_.standard_normal(m) * np.asarray(comp.live)
+    v0 /= np.linalg.norm(v0)
+    res_1 = eigsh_restarted(
+        comp, k=4, tol=1e-9, max_cycles=80, dtype="float64",
+        v0=jnp.asarray(v0),
+    )
+    res_s = eigsh_restarted(
+        op, k=4, tol=1e-9, max_cycles=80, dtype="float64",
+        v0=jnp.asarray(host.to_sharded(v0)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_s.eigenvalues), np.asarray(res_1.eigenvalues),
+        rtol=1e-8, atol=1e-8,
+    )
+    assert float(np.max(np.asarray(res_s.residuals))) < 1e-8
+
+
 def test_sharded_stencil_pallas_path_matches(mesh):
     """The sharded local matvec dispatched through the Pallas kernel (the
     single-chip hot path, interpret mode here) + two-plane boundary
