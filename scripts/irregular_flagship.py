@@ -82,17 +82,48 @@ def main():
     vals = np.asarray(res.eigenvalues)
     resid = np.asarray(res.residuals)
     order = np.argsort(np.real(vals))
-    info["eigenvalues"] = [float(np.real(v)) for v in vals[order]]
-    info["true_rel_residuals"] = [float(r) for r in resid[order]]
-    info["residual_max"] = float(resid.max())
-    info["residual_min"] = float(resid.min())
+    info["eigenvalues_fp32"] = [float(np.real(v)) for v in vals[order]]
+    info["fp32_rel_residuals"] = [float(r) for r in resid[order]]
+    info["fp32_residual_max"] = float(resid.max())
     # Reference acceptance: <(Hx/||Hx||), x>^2 within 0.01 of 1
     # (Regular/Lanczos.py:166-185).
     ip = np.asarray(res.inner_prod)
     info["acceptance_inner_prod"] = [float(v) for v in ip[order]]
     info["all_accepted_ref_tol"] = bool((np.abs(ip - 1.0) < 0.01).all())
     print(f"[irr] solve {info['t_solve_s']:.1f}s; eigenvalues "
-          f"{info['eigenvalues'][:4]} ...; resid max {resid.max():.2e}",
+          f"{info['eigenvalues_fp32'][:4]} ...; fp32 resid max "
+          f"{resid.max():.2e}", flush=True)
+
+    # fp64 host refinement against the TRUE fp64 operator (VERDICT r3 next
+    # #5): the fp32 stall ~eps32*||A||/|lam| is the storage floor of both
+    # the vectors AND the stored fp32 weights; at this size the honest cure
+    # is plain fp64 on the host (the reference's native precision) —
+    # oblique Rayleigh-Ritz + deflated BiCGStab (solver/refine.py).
+    from lanczos_tpu.solver.refine import refine_eigenpairs_fp64_host
+
+    t0 = time.time()
+    H64 = lt.assemble_irregular_hamiltonian(
+        lat, lt.deuteron_potential_3d, symmetrize=None, dtype=np.float64
+    )
+    A64 = H64.to_scipy()
+    info["t_assemble64_s"] = time.time() - t0
+    # eigs_nonsym vectors are in the composite's level-major order: perm
+    # maps lattice order -> operator order (v_op = v_lat[perm]).
+    X_op = np.asarray(res.eigenvectors, np.float64)[:, order]
+    X_lat = np.empty_like(X_op)
+    X_lat[np.asarray(perm)] = X_op
+    t0 = time.time()
+    lam_r, X_r, rel_r = refine_eigenpairs_fp64_host(
+        A64, np.real(vals[order]), X_lat,
+        tol=1e-10, max_rounds=6, cg_steps=300, verbose=True,
+    )
+    info["t_refine_s"] = time.time() - t0
+    info["eigenvalues"] = [float(v) for v in lam_r]
+    info["true_rel_residuals"] = [float(r) for r in rel_r]
+    info["residual_max"] = float(rel_r.max())
+    info["residual_min"] = float(rel_r.min())
+    print(f"[irr] fp64 refine {info['t_refine_s']:.1f}s; resid max "
+          f"{rel_r.max():.2e}; eigenvalues {info['eigenvalues'][:4]} ...",
           flush=True)
 
     with open(args.out, "w") as f:

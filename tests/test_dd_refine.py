@@ -276,3 +276,94 @@ def test_refine_hosted_matches_device():
         col_chunk=5,  # force uneven chunking
     )
     assert rel[:k].max() <= 3e-8, rel
+
+
+def test_refine_nonsym_irregular():
+    """NON-SYMMETRIC refinement (VERDICT r3 next #5): the irregular LSQ
+    deuteron Hamiltonian's fp32 Krylov-Schur pairs stall at the fp32
+    storage floor ~eps32*||A||/|lam|; refine_eigenpairs_dd_nonsym (oblique
+    Rayleigh-Ritz + deflated BiCGStab) takes them to <= 1e-8 TRUE relative
+    residual against the fp64 promotion of the same stored operator.
+    Reference parity: Irregular/IrrLanczos.py:77-187 (fp64 end-to-end)."""
+    import scipy.linalg
+
+    lat = build_lattice(24, 25.0, 3, overwrite_spacing=True)
+    H = lt.assemble_irregular_hamiltonian(
+        lat, lt.deuteron_potential_3d, symmetrize=None, dtype=np.float32
+    )
+    k = 4
+    res = lt.eigs_nonsym(
+        H, k=k, tol=1e-6, which="SR", dtype="float32", max_cycles=40
+    )
+    lam0 = np.asarray(res.eigenvalues, np.float64)
+    X0 = np.asarray(res.eigenvectors, np.float32)
+    stalled = np.asarray(res.residuals, np.float64).max()
+
+    from lanczos_tpu.solver.refine import refine_eigenpairs_dd_nonsym
+
+    lam, Xh, Xl, rel = refine_eigenpairs_dd_nonsym(
+        H, lam0, X0, tol=1e-9, max_rounds=8, cg_steps=60
+    )
+    assert rel.max() <= 1e-8, (stalled, rel)
+
+    # fp64 oracle on the STORED fp32 coefficients (what dd applies exactly).
+    A = H.to_scipy().astype(np.float64)
+    X = np.asarray(Xh, np.float64) + np.asarray(Xl, np.float64)
+    R = A @ X - X * lam[None, :]
+    true_rel = (
+        np.linalg.norm(R, axis=0)
+        / np.linalg.norm(X, axis=0)
+        / np.maximum(np.abs(lam), 1.0)
+    )
+    assert true_rel.max() <= 1e-8, true_rel
+    # eigenvalues agree with the dense fp64 oracle
+    w = scipy.linalg.eig(A.toarray(), right=False)
+    w = np.sort(w.real[np.abs(w.imag) < 1e-8])
+    np.testing.assert_allclose(np.sort(lam), w[:k], atol=1e-7, rtol=1e-9)
+
+
+def test_refine_fp64_host_flagship_flow():
+    """The flagship pipeline at test size: fp32 Krylov-Schur on the
+    composite v1 operator -> plain fp64 HOST refinement against the TRUE
+    fp64 matrix (stored-coefficient rounding removed, unlike the dd path) —
+    residuals reach <= 1e-9 vs the physics operator, reference fp64
+    parity (Irregular/Irr3Ddeuteron.py:13-41)."""
+    from lanczos_tpu.models.irr_hamiltonian import (
+        assemble_irregular_hamiltonian_composite,
+    )
+    from lanczos_tpu.solver.refine import refine_eigenpairs_fp64_host
+
+    lat = build_lattice(24, 25.0, 3, overwrite_spacing=True)
+    op, perm = assemble_irregular_hamiltonian_composite(
+        lat, lt.deuteron_potential_3d, dtype="float32"
+    )
+    k = 4
+    res = lt.eigs_nonsym(
+        op, k=k, tol=1e-6, which="SR", dtype="float32", max_cycles=40
+    )
+    vals = np.asarray(res.eigenvalues, np.float64)
+    order = np.argsort(vals)
+    X_op = np.asarray(res.eigenvectors, np.float64)[:, order]
+    X_lat = np.empty_like(X_op)
+    X_lat[np.asarray(perm)] = X_op
+
+    A64 = lt.assemble_irregular_hamiltonian(
+        lat, lt.deuteron_potential_3d, symmetrize=None, dtype=np.float64
+    ).to_scipy()
+    lam, X, rel = refine_eigenpairs_fp64_host(
+        A64, vals[order], X_lat, tol=1e-10, max_rounds=6, cg_steps=200
+    )
+    assert rel.max() <= 1e-9, rel
+    # every refined eigenvalue is a true eigenvalue of the fp64 oracle
+    # (nearest-match: a single-vector Krylov run may capture one copy of a
+    # degenerate multiplet and the next distinct eigenvalue instead of the
+    # second copy — the reference behaves the same; the multiplet-complete
+    # solver is the block path, test_block_selective.py)
+    import scipy.linalg
+
+    w = scipy.linalg.eig(A64.toarray(), right=False)
+    w = np.sort(w.real[np.abs(w.imag) < 1e-8])
+    for v in lam:
+        assert np.abs(w - v).min() <= 1e-9, (v, w[:k + 2])
+    # and the ground state specifically matches
+    np.testing.assert_allclose(lam.min(), w[0], atol=1e-9, rtol=1e-11)
