@@ -17,6 +17,7 @@ from .ops.operators import (
 )
 from .ops.assemble import ell_from_coo, ell_from_scipy
 from .solver.api import eigsh
+from .solver.block import eigsh_block_restarted
 from .solver.restart import eigsh_restarted
 from .solver.lanczos import LanczosFactorization, lanczos
 from .solver.results import EigResult, match_eigs

@@ -14,7 +14,12 @@ from .two_sided import (
     two_sided_eigs,
     two_sided_lanczos,
 )
-from .block import BlockLanczosFactorization, block_lanczos, block_ritz
+from .block import (
+    BlockLanczosFactorization,
+    block_lanczos,
+    block_ritz,
+    eigsh_block_restarted,
+)
 from .arnoldi import ArnoldiFactorization, arnoldi, eigs_nonsym
 from .look_ahead import (
     LookAheadFactorization,

@@ -30,7 +30,12 @@ import numpy as np
 
 from ..ops.operators import LinearOperator
 
-__all__ = ["BlockLanczosFactorization", "block_lanczos", "block_ritz"]
+__all__ = [
+    "BlockLanczosFactorization",
+    "block_lanczos",
+    "block_ritz",
+    "eigsh_block_restarted",
+]
 
 _PRECISION = jax.lax.Precision.HIGHEST
 
@@ -145,6 +150,203 @@ def block_lanczos(
     if dtype is None:
         dtype = op.dtype
     return _block_jit(op, num_blocks, block_size, seed, jnp.dtype(dtype))
+
+
+@partial(
+    jax.jit, static_argnames=("l", "nb", "b"), donate_argnums=(1,)
+)
+def _block_cycle_jit(op, V, Q0t, l, nb, b):
+    """One thick-restart BLOCK cycle: blocks j = 0..nb-1 from start block
+    Q0t (b, M), deflating against locked rows V[:l] via the full CGS2
+    reorthogonalization.  Returns (V, a_blocks (nb,b,b), b_blocks
+    (nb-1,b,b), resid (M, b) orthogonal to the whole basis).
+    """
+    matmat = op.matmat
+    m1 = V.shape[0]
+    V = jax.lax.dynamic_update_slice_in_dim(V, Q0t, l, axis=0)
+
+    def orth(V, R):
+        basis = V[: m1 - 1]
+        for _ in range(2):
+            coeff = jnp.dot(basis, R, precision=_PRECISION)
+            R = R - jnp.dot(basis.T, coeff, precision=_PRECISION)
+        return R
+
+    def step(carry, j):
+        V, q_prev_t = carry  # (M, b)
+        w = matmat(q_prev_t)
+        a_j = jnp.dot(q_prev_t.T, w, precision=_PRECISION)
+        a_j = 0.5 * (a_j + a_j.T)
+        r = w - jnp.dot(q_prev_t, a_j, precision=_PRECISION)
+        # CGS2 against the full basis removes the previous block's B^T
+        # component and the locked coupling in one sweep.
+        r = orth(V, r)
+        q_next, b_j = jnp.linalg.qr(r)
+        V = jax.lax.dynamic_update_slice_in_dim(
+            V, q_next.T, l + (j + 1) * b, axis=0
+        )
+        return (V, q_next), (a_j, b_j)
+
+    if nb > 1:
+        (V, q_last), (a_blocks, b_blocks) = jax.lax.scan(
+            step,
+            (V, Q0t.T),
+            jnp.arange(0, nb - 1, dtype=jnp.int32),
+        )
+    else:
+        V, q_last = V, Q0t.T
+        a_blocks = jnp.zeros((0, b, b), V.dtype)
+        b_blocks = jnp.zeros((0, b, b), V.dtype)
+    w = matmat(q_last)
+    a_last = jnp.dot(q_last.T, w, precision=_PRECISION)
+    a_last = 0.5 * (a_last + a_last.T)
+    a_blocks = jnp.concatenate([a_blocks, a_last[None]])
+    resid = w - jnp.dot(q_last, a_last, precision=_PRECISION)
+    resid = orth(V, resid)
+    return V, a_blocks, b_blocks, resid
+
+
+def eigsh_block_restarted(
+    op: LinearOperator,
+    k: int = 10,
+    block_size: int = 4,
+    *,
+    num_blocks: int = 0,
+    n_locked: int = 0,
+    tol: float = 1e-6,
+    max_cycles: int = 60,
+    which: str = "SA",
+    seed: int = 99,
+    dtype=None,
+    verbose: bool = False,
+) -> "EigResult":
+    """Thick-restart BLOCK Lanczos: degenerate multiplets at bounded basis.
+
+    Single-vector thick restart (solver.restart.eigsh_restarted) provably
+    finds at most one copy of each degenerate eigenvalue per Krylov space;
+    the unrestarted block solver (block_lanczos) resolves multiplicity <=
+    block_size but its basis grows without bound.  This routine combines
+    them (block Wu-Simon): after each cycle the l best Ritz vectors are
+    locked, the recurrence restarts from the (M, b) residual block, and
+    the projected matrix is arrowhead + block-tridiagonal:
+
+        B = [[diag(theta_1..l),  C^T],
+             [C,  block-tridiag(A_j, B_j)]],     C = S Y_last (b, l)
+
+    with S the QR factor of the cycle's residual block.  Residual
+    estimates are ||S y_i[last b]|| — no extra SpMMs.  Convergence is
+    verified against the operator itself (Rayleigh-Ritz in fp64 on the
+    host, solver.restart._refine_host).
+
+    No reference counterpart (SURVEY §7.7: the reference has neither
+    blocking nor restarting); the degenerate-multiplet test is
+    tests/test_block_selective.py.
+    """
+    from .restart import _refine_host, _ritz_update
+    from .results import EigResult
+
+    b = int(block_size)
+    mdim = op.shape[0]
+    if dtype is None:
+        dtype = op.dtype
+    dtype = jnp.dtype(dtype)
+    if which not in ("SA", "LA"):
+        raise ValueError("which must be SA or LA")
+    nb = num_blocks or max(-(-(2 * k + 20) // b), 4)
+    l_keep = n_locked or min(k + max(b, 4), nb * b - b)
+    if l_keep < k:
+        raise ValueError(f"n_locked={l_keep} < k={k}")
+    mtot = l_keep + nb * b
+    if mtot >= mdim:
+        raise ValueError(
+            f"basis {mtot} (n_locked={l_keep} + {nb}x{b}) must be smaller "
+            f"than the operator dimension {mdim}"
+        )
+
+    rng = jax.random.PRNGKey(seed)
+    Q0t = jax.random.normal(rng, (b, mdim), dtype=dtype)
+    Q0t = jnp.linalg.qr(Q0t.T)[0].T
+    V = jnp.zeros((mtot + 1, mdim), dtype=dtype)
+    theta = np.zeros(0)
+    C = np.zeros((b, 0))
+    l = 0
+    refined = None
+    best_rel = np.inf
+
+    for cycle in range(max_cycles):
+        V, a_blocks, b_blocks, resid = _block_cycle_jit(
+            op, V, Q0t, l, nb, b
+        )
+        mt = l + nb * b
+        B = np.zeros((mt, mt))
+        if l:
+            B[:l, :l] = np.diag(theta)
+            B[l : l + b, :l] = C
+            B[:l, l : l + b] = C.T
+        ab = np.asarray(a_blocks, np.float64)
+        bb = np.asarray(b_blocks, np.float64)
+        for j in range(nb):
+            B[l + j * b : l + (j + 1) * b, l + j * b : l + (j + 1) * b] = ab[j]
+        for j in range(nb - 1):
+            B[l + (j + 1) * b : l + (j + 2) * b, l + j * b : l + (j + 1) * b] = bb[j]
+            B[l + j * b : l + (j + 1) * b, l + (j + 1) * b : l + (j + 2) * b] = bb[j].T
+        w_all, y_all = np.linalg.eigh(B)
+        order = np.argsort(w_all) if which == "SA" else np.argsort(-w_all)
+        w_all, y_all = w_all[order], y_all[:, order]
+
+        Q0_dev, S_dev = jnp.linalg.qr(resid)
+        S = np.asarray(S_dev, np.float64)
+        est = np.linalg.norm(S @ y_all[mt - b :, :], axis=0)
+        rel = est / np.maximum(np.abs(w_all), 1e-30)
+        if verbose:
+            print(
+                f"block cycle {cycle}: theta[0]={w_all[0]:.8g} "
+                f"max-rel-resid(k)={rel[:k].max():.2e}"
+            )
+        converged = bool((rel[:k] < tol).all())
+
+        l_new = min(l_keep, mt - b)
+        e_pad = np.zeros((mtot, l_new))
+        e_pad[:mt] = y_all[:, :l_new]
+        V = _ritz_update(V, jnp.asarray(e_pad, dtype), l_new)
+        theta = w_all[:l_new]
+        C = S @ y_all[mt - b :, :l_new]
+        l = l_new
+        Q0t = Q0_dev.T.astype(dtype)
+
+        if not converged:
+            continue
+        # Verify against the operator itself (fp32 model drift, same
+        # rationale as eigsh_restarted's rr_verify).
+        lam, Xr, tres, _ = _refine_host(op, V[:k].reshape(k, mdim).T)
+        o2 = np.argsort(lam) if which == "SA" else np.argsort(-lam)
+        lam, tres = lam[o2], tres[o2]
+        Xr = Xr[:, jnp.asarray(o2)]
+        trel = tres / np.maximum(np.abs(lam), 1e-30)
+        worst = float(trel.max())
+        if verbose:
+            print(f"  verify: max-true-rel-resid={worst:.2e}")
+        if refined is None or worst < best_rel:
+            refined, best_rel = (lam, Xr, tres), worst
+        if (trel < tol).all() or worst > best_rel * 1.3:
+            break
+
+    if refined is None:
+        lam, Xr, tres, _ = _refine_host(op, V[:k].reshape(k, mdim).T)
+        o2 = np.argsort(lam) if which == "SA" else np.argsort(-lam)
+        lam, tres = lam[o2], tres[o2]
+        Xr = Xr[:, jnp.asarray(o2)]
+        refined = (lam, Xr, tres)
+    lam, Xr, tres = refined
+    vecs = jnp.asarray(Xr, dtype=dtype)
+    from .results import acceptance_inner_prod
+
+    return EigResult(
+        eigenvalues=jnp.asarray(lam),
+        eigenvectors=vecs,
+        residuals=jnp.asarray(tres),
+        inner_prod=acceptance_inner_prod(op, vecs),
+    )
 
 
 @jax.jit

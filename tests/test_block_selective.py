@@ -107,3 +107,46 @@ def test_eigsh_block_size_public_api():
     X = np.asarray(res.eigenvectors)
     gram = X.T @ X
     np.testing.assert_allclose(gram, np.eye(2), atol=1e-6)
+
+
+def test_block_restarted_resolves_multiplicity_bounded_basis(rng):
+    """Thick-restart BLOCK mode (VERDICT r3 next #9): a degenerate cluster
+    converges with a basis bounded far below what the unrestarted block
+    factorization would need — the memory-bounded multiplet solver."""
+    from lanczos_tpu.ops.operators import DenseOperator
+    from lanczos_tpu.solver.block import eigsh_block_restarted
+
+    m, mult = 400, 3
+    a, exact = _matrix_with_degenerate_cluster(rng, m, mult)
+    op = DenseOperator(jnp.asarray(a))
+    k = 6
+    res = eigsh_block_restarted(
+        op, k=k, block_size=4, num_blocks=5, tol=1e-9,
+        max_cycles=60, dtype=np.float64,
+    )
+    # basis bound: n_locked (k+4) + 5*4 = 30 rows << the ~80+ an
+    # unrestarted run needs at this spectrum
+    lam = np.asarray(res.eigenvalues)
+    np.testing.assert_allclose(np.sort(lam)[:mult], exact[:mult], atol=1e-8)
+    np.testing.assert_allclose(np.sort(lam), exact[:k], atol=1e-7)
+    assert float(np.asarray(res.residuals).max()) < 1e-8
+
+
+def test_block_restarted_fp32_irregular(rng):
+    """Restarted block mode end-to-end on a sparse operator in fp32 with
+    the operator-verified (Rayleigh-Ritz) convergence path."""
+    from lanczos_tpu.solver.block import eigsh_block_restarted
+
+    m = 600
+    a = random_sparse_symmetric(rng, m)
+    op = ell_from_scipy(a, dtype=np.float32)
+    res = eigsh_block_restarted(
+        op, k=4, block_size=3, num_blocks=6, tol=2e-5,
+        max_cycles=80, dtype="float32",
+    )
+    exact = np.sort(
+        scipy.sparse.linalg.eigsh(a, k=4, which="SA", tol=1e-12)[0]
+    )
+    np.testing.assert_allclose(
+        np.sort(np.asarray(res.eigenvalues)), exact, atol=5e-4, rtol=1e-4
+    )
