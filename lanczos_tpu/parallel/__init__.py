@@ -1,2 +1,7 @@
-from .mesh import ROWS, make_row_mesh
-from .distributed import lanczos_sharded, shard_operator
+from .mesh import ROWS, initialize_distributed, make_row_mesh
+from .distributed import (
+    EllHaloOperator,
+    lanczos_sharded,
+    shard_ell_halo,
+    shard_operator,
+)

@@ -37,7 +37,12 @@ from ..ops.operators import EllOperator, LinearOperator, StencilOperator
 from ..solver.lanczos import LanczosFactorization, lanczos_kernel
 from .mesh import ROWS
 
-__all__ = ["lanczos_sharded", "shard_operator"]
+__all__ = [
+    "EllHaloOperator",
+    "lanczos_sharded",
+    "shard_ell_halo",
+    "shard_operator",
+]
 
 _PRECISION = jax.lax.Precision.HIGHEST
 
@@ -166,6 +171,109 @@ def _ell_local_matvec(axis_name: str):
     return local_matvec
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EllHaloOperator(LinearOperator):
+    """Row-sharded ELL with HALO-COMPRESSED exchange (VERDICT r3 next #6).
+
+    The plain sharded EllOperator all-gathers the full vector every step —
+    O(M) per device where the reference's own edge-fraction analysis
+    (notes.tex:332, 7-14%) says O(surface) suffices for lattice-local
+    sparsity.  Built by ``shard_operator`` at shard time: each device's
+    EXPORT list (the slots any other device's rows read) is precomputed;
+    per matvec every device gathers only the (D, E) export table (E = max
+    per-device export count) and its column indices are pre-remapped into
+    [local | table] positions, so the SpMV is one small all-gather + the
+    usual block gather.
+
+    cols: (M, K) remapped columns, rows device-partitioned; entries
+          < M/D index the local shard, entries >= M/D index the gathered
+          export table at (value - M/D).
+    vals: (M, K) values (0 padding).
+    export_ids: (D, E) per-device LOCAL indices of exported slots.
+    """
+
+    cols: jax.Array
+    vals: jax.Array
+    export_ids: jax.Array
+
+    @property
+    def shape(self):
+        m = self.cols.shape[0]
+        return (m, m)
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def exchange_elements(self) -> int:
+        """Per-device elements received per matvec (vs M for all-gather)."""
+        return int(np.prod(self.export_ids.shape))
+
+
+def _ell_halo_local_matvec(axis_name: str):
+    def local_matvec(cols_local, vals_local, exp_ids, x_local):
+        exported = x_local[exp_ids[0]]  # (E,)
+        table = jax.lax.all_gather(exported, axis_name, tiled=True)  # (D*E,)
+        x_cat = jnp.concatenate([x_local, table])
+        return jnp.sum(vals_local * x_cat[cols_local], axis=1)
+
+    return local_matvec
+
+
+def shard_ell_halo(
+    op: EllOperator, mesh: jax.sharding.Mesh, axis_name: str = ROWS
+) -> EllHaloOperator:
+    """Build the halo-compressed sharded form of an EllOperator.
+
+    Host-side analysis: for each device, the remote columns its rows read;
+    the union per OWNER device is that owner's export list.  Falls back to
+    dense exchange semantics gracefully (E can approach M/D for
+    non-local graphs — the format stays correct, just not thinner)."""
+    D = int(mesh.shape[axis_name])
+    cols = np.asarray(op.cols)
+    vals = np.asarray(op.vals)
+    m, kk = cols.shape
+    if m % D:
+        raise ValueError(f"operator dimension {m} must divide across {D} devices")
+    r = m // D
+    owner = cols // r  # (M, K) owning device of each referenced slot
+    row_dev = np.repeat(np.arange(D), r)[:, None]  # (M, 1)
+    real = vals != 0
+    remote = real & (owner != row_dev)
+
+    # Export list per owner device: slots read by any foreign device.
+    exports = []
+    for o in range(D):
+        sel = remote & (owner == o)
+        exports.append(np.unique(cols[sel]) if sel.any() else np.empty(0, np.int64))
+    e_max = max(1, max(len(e) for e in exports))
+    export_ids = np.zeros((D, e_max), dtype=np.int32)
+    table_pos = {}
+    for o, e in enumerate(exports):
+        export_ids[o, : len(e)] = e - o * r
+        for j, s in enumerate(e):
+            table_pos[int(s)] = o * e_max + j
+
+    # Remap columns: local -> local index; remote -> r + table position.
+    new_cols = np.zeros_like(cols, dtype=np.int64)
+    local = real & (owner == row_dev)
+    new_cols[local] = cols[local] % r
+    rr_, cc_ = np.nonzero(remote)
+    for i, j in zip(rr_, cc_):
+        new_cols[i, j] = r + table_pos[int(cols[i, j])]
+
+    s_row = NamedSharding(mesh, P(axis_name, None))
+    return EllHaloOperator(
+        cols=jax.device_put(jnp.asarray(new_cols, jnp.int32), s_row),
+        vals=jax.device_put(jnp.asarray(vals, op.vals.dtype), s_row),
+        export_ids=jax.device_put(
+            jnp.asarray(export_ids), NamedSharding(mesh, P(axis_name, None))
+        ),
+    )
+
+
 def shard_operator(op: LinearOperator, mesh: jax.sharding.Mesh, axis_name: str = ROWS):
     """device_put the operator's arrays with their row-sharded layout.
 
@@ -286,6 +394,31 @@ def lanczos_sharded(
             check_vma=False,
         )
         return jax.jit(mapped)(op.weights, op.diag, v0)
+
+    if isinstance(op, EllHaloOperator):
+        local_mv = _ell_halo_local_matvec(axis_name)
+
+        def body(cols, vals, exp, v0_local):
+            return lanczos_kernel(
+                partial(local_mv, cols, vals, exp),
+                v0_local,
+                n,
+                reorth=reorth,
+                reorth_passes=reorth_passes,
+                reorth_period=reorth_period,
+                dot=dot,
+                basis_dot=basis_dot,
+            )
+
+        in_specs = (
+            P(axis_name, None), P(axis_name, None), P(axis_name, None),
+            P(axis_name),
+        )
+        mapped = jax.shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=fac_specs,
+            check_vma=False,
+        )
+        return jax.jit(mapped)(op.cols, op.vals, op.export_ids, v0)
 
     if isinstance(op, EllOperator):
         local_mv = _ell_local_matvec(axis_name)

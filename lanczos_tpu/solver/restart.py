@@ -407,9 +407,20 @@ def eigsh_restarted(
         # |beta_m y[m]| residual ESTIMATES; acceptance left NaN (no extra
         # (M, k) blocks are materialized).
         vals = jnp.asarray(theta[:k])
-        # Transpose on the HOST: an on-device (M, k) transpose next to the
-        # (m, M) basis is an OOM at north-star scale (5.8 + 7.6 GB + scratch).
-        vecs = np.ascontiguousarray(np.asarray(V[:k].reshape(k, mdim)).T)
+        # Transpose on the HOST, transferring a FEW ROWS AT A TIME: one
+        # monolithic k x M device->host readback (5.7 GB at north-star
+        # scale) stalled indefinitely on the tunneled runtime (r4,
+        # 2026-08-21: >20 min with zero socket traffic), and an on-device
+        # (M, k) transpose next to the (m, M) basis is an OOM.  Small
+        # transfers also give progress visibility.
+        vecs = np.empty((mdim, k), dtype=np.dtype(V.dtype))
+        row_chunk = max(1, min(k, (1 << 28) // (mdim * 4)))  # ~256 MB
+        Vk = V[:k].reshape(k, mdim)
+        for lo_r in range(0, k, row_chunk):
+            hi_r = min(lo_r + row_chunk, k)
+            vecs[:, lo_r:hi_r] = np.asarray(Vk[lo_r:hi_r]).T
+            if verbose:
+                print(f"  readback {hi_r}/{k} rows", flush=True)
         est = np.abs(theta[:k]) * np.asarray(history[-1] if history else np.nan)
         return EigResult(
             eigenvalues=vals,

@@ -77,6 +77,46 @@ def test_sharded_spectra_vs_scipy(mesh, rng):
     np.testing.assert_allclose(np.asarray(theta)[:4], exact, rtol=1e-8, atol=1e-8)
 
 
+def test_sharded_ell_halo_matches_and_is_thin(mesh, rng):
+    """Halo-compressed sharded ELL (VERDICT r3 next #6): per-device
+    exchange is the precomputed export table, not the full vector; the
+    factorization matches single-device exactly, and on a lattice-local
+    graph the exchanged volume shrinks toward the surface fraction as
+    slabs thicken."""
+    from lanczos_tpu.parallel import shard_ell_halo
+
+    n_grid = 32  # 4 z-planes per device: 2 of 4 exported
+    H = build_regular_hamiltonian(
+        n_grid, 25.0, deuteron_potential_3d, stencil="27", dtype="float64"
+    )
+    ell = H.to_ell()
+    n = 30
+    fac_ref = lanczos(ell, n, seed=7, dtype="float64")
+    hop = shard_ell_halo(ell, mesh)
+    fac_dist = lanczos_sharded(hop, n, mesh, seed=7, dtype="float64")
+    np.testing.assert_allclose(
+        np.asarray(fac_dist.alpha), np.asarray(fac_ref.alpha),
+        rtol=1e-9, atol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fac_dist.beta), np.asarray(fac_ref.beta),
+        rtol=1e-9, atol=1e-9,
+    )
+    m = ell.shape[0]
+    ex32 = hop.exchange_elements / m  # D*E / M
+    assert ex32 <= 0.55, ex32
+
+    # thickness scaling: 8 planes per device -> only 2 exported (host-only
+    # analysis, no solve)
+    H64 = build_regular_hamiltonian(
+        64, 25.0, deuteron_potential_3d, stencil="27", dtype="float64"
+    )
+    hop64 = shard_ell_halo(H64.to_ell(), mesh)
+    ex64 = hop64.exchange_elements / H64.shape[0]
+    assert ex64 <= 0.30, ex64
+    assert ex64 < 0.6 * ex32, (ex32, ex64)
+
+
 def test_sharded_rejects_indivisible(mesh):
     from lanczos_tpu.ops import ell_from_coo
 
