@@ -231,6 +231,7 @@ def assemble_irregular_hamiltonian_composite2(
     t_factor: Optional[float] = None,
     rest_energy: float = DEUTERON_REDUCED_REST_ENERGY_MEV,
     dtype=np.float32,
+    min_grid_rows: int = 16,
 ):
     """H = -T + V as a CompositeV2 (region-native strided irregular format).
 
@@ -256,7 +257,8 @@ def assemble_irregular_hamiltonian_composite2(
                 dtype=np.float64,
             )
     return build_composite_v2(
-        lat, nbrs, rels, weights, diag, scale=-t_factor, dtype=dtype
+        lat, nbrs, rels, weights, diag, scale=-t_factor, dtype=dtype,
+        min_grid_rows=min_grid_rows,
     )
 
 

@@ -235,6 +235,11 @@ class CompositeV2(LinearOperator):
     level_meta: Tuple = dataclasses.field(metadata=dict(static=True))
     grid_meta: Tuple = dataclasses.field(metadata=dict(static=True))
     symmetric: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # Fused-interface plan (ops.interface_kernel): STATIC so it survives
+    # pytree flattening through jit'd solvers; None = XLA tap path.
+    fused_plan: object = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def shape(self):
@@ -262,6 +267,23 @@ class CompositeV2(LinearOperator):
             # rows (replaced by interface_apply_full below) and dead slots
             # (annihilated).
             y3.append(op.matvec(xg).reshape(gshape) * k3)
+        if self.fused_plan is not None:
+            from .interface_kernel import apply_fused_interface
+            from .pallas_kernels import pallas_supported
+
+            y3 = apply_fused_interface(
+                self.fused_plan, x3, y3, interpret=not pallas_supported()
+            )
+            y = jnp.concatenate([v.reshape(-1) for v in y3]) + self.diag * x
+            fb = self.fused_plan.fallback
+            if fb or self.ifc_buckets:
+                y = y + interface_apply_full(
+                    x3, x,
+                    tuple(self.grid_meta[i] for i in fb),
+                    tuple(self.grid_w[i] for i in fb),
+                    self.level_meta, self.ifc_buckets,
+                )
+            return y
         y = jnp.concatenate([v.reshape(-1) for v in y3]) + self.diag * x
         # Interface rows' stencil output is masked to exactly zero above, so
         # adding the full interface contribution is bitwise-identical to
@@ -366,6 +388,7 @@ def build_composite_v2(
     interior_weights=None,
     symmetric: bool = False,
     min_grid_rows: int = 16,
+    fuse_interface: bool = False,
 ) -> Tuple[CompositeV2, np.ndarray]:
     """Build the v2 composite operator from assembled rows (same contract as
     ops.composite.build_composite: inputs in lattice point order, off-diagonal
@@ -630,6 +653,16 @@ def build_composite_v2(
     else:
         buckets = ()
 
+    plan = None
+    if fuse_interface and grid_meta:
+        from .interface_kernel import plan_interface_kernel
+
+        plan = plan_interface_kernel(
+            tuple(grid_meta),
+            tuple((a, ext, st) for (a, ext, st) in level_meta),
+            [np.asarray(w, np.float64) for w in grid_w],
+        )
+
     op = CompositeV2(
         diag=jnp.asarray(diag_op),
         keep=jnp.asarray(keep),
@@ -640,5 +673,6 @@ def build_composite_v2(
         level_meta=tuple(level_meta),
         grid_meta=tuple(grid_meta),
         symmetric=symmetric,
+        fused_plan=plan,
     )
     return op, idx_map

@@ -174,3 +174,38 @@ def test_graph_laplacian_symmetric_matvec():
     np.testing.assert_allclose(y_op[idx_map], y_ref, atol=1e-9, rtol=1e-9)
     yr_op = np.asarray(comp.rmatvec(jnp.asarray(_scatter(comp, idx_map, x))))
     np.testing.assert_allclose(yr_op[idx_map], y_ref, atol=1e-9, rtol=1e-9)
+
+
+def test_fused_interface_kernel_matches():
+    """Fused Pallas interface kernel (ROADMAP r4 item 1) == the XLA tap
+    path, bitwise-class: same fp32-stored weights, interpret mode here,
+    compiled Mosaic on the chip."""
+    import jax.numpy as jnp
+
+    lat = _mixed_lattice(n=24)
+    t_factor = kinetic_prefactor(lat.s)
+    nbrs, rels, weights = irregular_laplacian_rows(lat)
+    diag = t_factor * weights.sum(axis=1)
+    kw = dict(
+        scale=-t_factor, dtype=np.float64, min_grid_rows=4,
+    )
+    comp_ref, idx_map = build_composite_v2(lat, nbrs, rels, weights, diag, **kw)
+    comp_fused, idx2 = build_composite_v2(
+        lat, nbrs, rels, weights, diag, fuse_interface=True, **kw
+    )
+    np.testing.assert_array_equal(idx_map, idx2)
+    assert comp_fused.fused_plan is not None
+    assert len(comp_fused.fused_plan.classes) > 0
+    # 2:1-graded lattice: every class covered, no fallback
+    assert comp_fused.fused_plan.fallback == ()
+    rng = np.random.default_rng(0)
+    x = np.zeros(comp_ref.shape[0])
+    x[idx_map] = rng.normal(size=lat.num_points)
+    y_ref = np.asarray(comp_ref.matvec(jnp.asarray(x)))
+    y_fused = np.asarray(comp_fused.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y_fused, y_ref, rtol=1e-13, atol=1e-13)
+    # and under jit (the plan rides the static pytree field)
+    import jax
+
+    y_jit = np.asarray(jax.jit(comp_fused.matvec)(jnp.asarray(x)))
+    np.testing.assert_allclose(y_jit, y_ref, rtol=1e-13, atol=1e-13)

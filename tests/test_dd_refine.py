@@ -367,3 +367,43 @@ def test_refine_fp64_host_flagship_flow():
         assert np.abs(w - v).min() <= 1e-9, (v, w[:k + 2])
     # and the ground state specifically matches
     np.testing.assert_allclose(lam.min(), w[0], atol=1e-9, rtol=1e-11)
+
+
+def test_dd_jit_vs_eager_consistency_tpu():
+    """TPU-only (VERDICT r3 weak #6): the compiled dd path — what
+    production TPU runs use — must agree with the eager path the CPU suite
+    validates.  A Mosaic/XLA version bump that starts contracting a*b+c
+    into FMA across the error-free-transform boundaries (the known XLA:CPU
+    hazard, ops/dd.py) would show up here as a ~1e-8-scale divergence."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("TPU-only: XLA:CPU is known to FMA-contract dd "
+                    "(documented hazard); the eager path is tested above")
+    import jax.numpy as jnp
+
+    from lanczos_tpu.solver.refine import _dd_residual, _split_vec
+
+    lat = _mixed_lattice(12)
+    nbrs, rels, weights, deg, rows, cols, keepm = _graph_laplacian_rows(lat)
+    comp, idx_map = build_composite_v2(
+        lat, nbrs, rels, weights, deg + 1.0, scale=1.0, dtype=np.float32,
+        interior_weights=lambda a: np.full(26, -1.0), symmetric=True,
+        min_grid_rows=4,
+    )
+    m = comp.shape[0]
+    rng_ = np.random.default_rng(3)
+    X = rng_.standard_normal((m, 3))
+    X *= np.asarray(comp.live, np.float64)[:, None]
+    X /= np.linalg.norm(X, axis=0)
+    Xh = jnp.asarray(X.astype(np.float32))
+    Xl = jnp.asarray((X - np.asarray(Xh, np.float64)).astype(np.float32))
+    lam_h, lam_l = _split_vec(np.asarray([1.0, 2.0, 3.0]))
+
+    jit_out = jax.jit(_dd_residual.__wrapped__)(comp, Xh, Xl, lam_h, lam_l)
+    eager_out = _dd_residual.__wrapped__(comp, Xh, Xl, lam_h, lam_l)
+    for a, b in zip(jit_out, eager_out):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b, np.float64),
+            rtol=0, atol=1e-12,
+        )
