@@ -198,6 +198,9 @@ class ShardedCompositeV2(LinearOperator):
     mesh: jax.sharding.Mesh = dataclasses.field(metadata=dict(static=True))
     axis_name: str = dataclasses.field(metadata=dict(static=True))
     symmetric: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    fused_plan: object = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def shape(self):
@@ -304,9 +307,29 @@ class ShardedCompositeV2(LinearOperator):
             # Single-device interface code on the reconstructed support
             # (replicated face-sized compute), then keep my z-portion.
             xs_flat = jnp.concatenate([v.reshape(-1) for v in xs3])
-            yifc = interface_apply_full(
-                xs3, xs_flat, grid_meta, grid_w, ifc_level_meta, buckets
-            )
+            if self.fused_plan is not None:
+                from ..ops.interface_kernel import apply_fused_interface
+                from ..ops.pallas_kernels import pallas_supported
+
+                y3f = [jnp.zeros(ext, x_local.dtype) for ext in
+                       (lm[1] for lm in level_meta)]
+                y3f = apply_fused_interface(
+                    self.fused_plan, xs3, y3f,
+                    interpret=not pallas_supported(),
+                )
+                yifc = jnp.concatenate([v.reshape(-1) for v in y3f])
+                fb = self.fused_plan.fallback
+                if fb or buckets:
+                    yifc = yifc + interface_apply_full(
+                        xs3, xs_flat,
+                        tuple(grid_meta[i] for i in fb),
+                        tuple(grid_w[i] for i in fb),
+                        ifc_level_meta, buckets,
+                    )
+            else:
+                yifc = interface_apply_full(
+                    xs3, xs_flat, grid_meta, grid_w, ifc_level_meta, buckets
+                )
             for li, (a, ext, st, sl, nzl) in enumerate(level_meta):
                 vol = ext[0] * ext[1] * ext[2]
                 yl3 = jax.lax.slice(yifc, (st,), (st + vol,)).reshape(ext)
@@ -418,6 +441,7 @@ def shard_composite_v2(
         mesh=mesh,
         axis_name=axis_name,
         symmetric=comp.symmetric,
+        fused_plan=comp.fused_plan,
     )
     host = ShardedCompositeV2Host(
         num_devices=D,

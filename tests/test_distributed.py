@@ -257,6 +257,52 @@ def test_support_planner_is_surface_proportional():
     assert fracs[96] < 0.72 * fracs[48], fracs
 
 
+def test_sharded_composite_v2_fused_interface_matches(rng):
+    """Sharded v2 with the FUSED interface kernel (interpret mode on CPU)
+    == single-device fused == single-device XLA path, on a 4-device mesh."""
+    from lanczos_tpu.models.lattice import build_lattice, find_neighbors
+    from lanczos_tpu.ops.composite2 import build_composite_v2
+    from lanczos_tpu.parallel import make_row_mesh
+    from lanczos_tpu.parallel.composite2 import shard_composite_v2
+
+    bd = 3
+    sp = np.full(bd**3, 2, dtype=np.int64)
+    sp[bd**3 // 2] = 1
+    lat = build_lattice(24, 25.0, bd, spacings=sp)
+    nbrs, rels = find_neighbors(lat, 1)
+    p, k = nbrs.shape
+    rows = np.repeat(np.arange(p, dtype=np.int64), k)
+    cols = nbrs.reshape(-1)
+    valid = cols >= 0
+    fwd = rows[valid] * p + cols[valid]
+    bwd = np.sort(cols[valid] * p + rows[valid])
+    pos = np.minimum(np.searchsorted(bwd, fwd), len(bwd) - 1)
+    keep = np.zeros(len(rows), dtype=bool)
+    keep[valid] = bwd[pos] == fwd
+    keep = keep.reshape(p, k)
+    kw = dict(
+        scale=1.0, dtype=np.float64,
+        interior_weights=lambda a: np.full(26, -1.0), symmetric=True,
+        min_grid_rows=4,
+    )
+    deg = keep.sum(axis=1).astype(np.float64)
+    nbrs_m = np.where(keep, nbrs, -1)
+    wts = np.where(keep, -1.0, 0.0)
+    comp, idx_map = build_composite_v2(lat, nbrs_m, rels, wts, deg + 1.0, **kw)
+    comp_f, _ = build_composite_v2(
+        lat, nbrs_m, rels, wts, deg + 1.0, fuse_interface=True, **kw
+    )
+    assert comp_f.fused_plan is not None
+    mesh4 = make_row_mesh(4)
+    op = shard_composite_v2(comp_f, mesh4, degenerate_frac=10.0)
+    assert op.fused_plan is not None
+    host = op.host
+    x = rng.standard_normal(comp.shape[0]) * np.asarray(comp.live)
+    y_ref = np.asarray(comp.matvec(jnp.asarray(x)))
+    y_sh = np.asarray(jax.jit(op.matvec)(jnp.asarray(host.to_sharded(x))))
+    np.testing.assert_allclose(host.from_sharded(y_sh), y_ref, atol=1e-11)
+
+
 def test_sharded_composite_v2_matmat_matches(mesh, composite_v2_pair, rng):
     comp, _ = composite_v2_pair
     op = shard_operator(comp, mesh)
