@@ -359,6 +359,12 @@ def eigs_nonsym(
         V, B, bki = _ks_cycle_jit(op, V, B, l, m, reorth_passes, compensated)
         Bm = np.asarray(B, np.float64)[:m, :m]
         bout = float(np.asarray(B[m, m - 1], np.float64))
+        if not np.isfinite(Bm).all() or not np.isfinite(bout):
+            raise FloatingPointError(
+                f"non-finite Rayleigh quotient in Krylov-Schur cycle "
+                f"{cycle}: operator overflow in {dtype} or an invalid "
+                f"start vector (see SURVEY §5.2 — surfaced, not silent)"
+            )
 
         T, Z, l_new = _schur_sort_select(Bm, which, min(k + 8, m - 2))
         # Residual couplings: A (V Z) = (V Z) T + v_m (bout e_m^T Z).

@@ -290,6 +290,12 @@ def eigsh_block_restarted(
         for j in range(nb - 1):
             B[l + (j + 1) * b : l + (j + 2) * b, l + j * b : l + (j + 1) * b] = bb[j]
             B[l + j * b : l + (j + 1) * b, l + (j + 1) * b : l + (j + 2) * b] = bb[j].T
+        if not np.isfinite(B).all():
+            raise FloatingPointError(
+                f"non-finite projected matrix in block-restart cycle "
+                f"{cycle} (operator overflow in {dtype} or degenerate "
+                f"start block)"
+            )
         w_all, y_all = np.linalg.eigh(B)
         order = np.argsort(w_all) if which == "SA" else np.argsort(-w_all)
         w_all, y_all = w_all[order], y_all[:, order]

@@ -336,6 +336,17 @@ def eigsh_restarted(
             B[l, np.arange(l)] = np.asarray(sigma)
         a = np.asarray(alpha)
         b = np.asarray(beta)
+        if not (np.isfinite(a).all() and np.isfinite(b).all()):
+            # Surface numerical blow-up immediately with actionable context
+            # instead of silently locking NaN Ritz pairs for the remaining
+            # cycles (SURVEY §5.2: the reference has no NaN detection).
+            raise FloatingPointError(
+                f"non-finite recurrence coefficients in restart cycle "
+                f"{cycle} (alpha finite: {np.isfinite(a).all()}, beta "
+                f"finite: {np.isfinite(b).all()}); typical causes: operator "
+                f"overflow in {dtype}, an unmasked dead-slot start vector, "
+                f"or missing Precision.HIGHEST in a custom matvec"
+            )
         idx = np.arange(l, m)
         B[idx, idx] = a
         if len(b):

@@ -67,3 +67,19 @@ def test_3d_stencil_operator():
     np.testing.assert_allclose(got[:2], exact[:2], atol=1e-7)
     # All values must coincide with some exact eigenvalue.
     assert np.abs(got[:, None] - exact[None, :]).min(axis=1).max() < 1e-7
+
+
+def test_restart_surfaces_nonfinite():
+    """NaN/Inf in the recurrence raises immediately with context instead of
+    silently locking NaN Ritz pairs (SURVEY §5.2 sanitizer gap)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from lanczos_tpu.ops.operators import DenseOperator
+    from lanczos_tpu.solver.restart import eigsh_restarted
+
+    a = np.diag(np.linspace(1.0, 2.0, 40)).astype(np.float64)
+    a[0, 0] = np.inf
+    op = DenseOperator(jnp.asarray(a))
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        eigsh_restarted(op, k=3, tol=1e-8, max_cycles=3, dtype="float64")
