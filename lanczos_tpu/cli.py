@@ -55,10 +55,21 @@ def cmd_solve_regular(args):
         args.N, args.L, lt.deuteron_potential_3d,
         stencil=args.stencil, dtype=args.dtype,
     )
-    res = lt.eigsh(
-        h, k=args.k, n=args.n, which="SA", seed=args.seed,
-        reorth=args.reorth, dtype=args.dtype,
-    )
+    if args.restart:
+        res = lt.eigsh_restarted(
+            h, k=args.k, max_basis=args.max_basis, tol=args.tol,
+            seed=args.seed, dtype=args.dtype,
+        )
+    elif args.block_size > 1:
+        res = lt.eigsh_block_restarted(
+            h, k=args.k, block_size=args.block_size, tol=args.tol,
+            seed=args.seed, dtype=args.dtype,
+        )
+    else:
+        res = lt.eigsh(
+            h, k=args.k, n=args.n, which="SA", seed=args.seed,
+            reorth=args.reorth, dtype=args.dtype,
+        )
     jax.block_until_ready(res.eigenvalues)
     print(f"# regular {args.N}^3 grid, {args.stencil}-pt stencil, "
           f"{time.time()-t0:.1f}s on {jax.default_backend()}")
@@ -205,6 +216,14 @@ def main(argv=None):
     p.add_argument("--stencil", default="27", choices=["7", "27"])
     p.add_argument("--reorth", default="full",
                    choices=["full", "selective", "periodic", "none"])
+    p.add_argument("--restart", action="store_true",
+                   help="memory-bounded thick-restart solver")
+    p.add_argument("--max-basis", type=int, default=0,
+                   help="restart basis bound (default 2k+30)")
+    p.add_argument("--block-size", type=int, default=1,
+                   help=">1: restarted BLOCK solver (degenerate multiplets)")
+    p.add_argument("--tol", type=float, default=1e-6,
+                   help="restart/block convergence tolerance")
     _add_common(p)
     p.set_defaults(fn=cmd_solve_regular)
 

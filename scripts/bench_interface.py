@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--n-fine", type=int, default=120)
     ap.add_argument("--box-depth", type=int, default=3)
     ap.add_argument("--min-grid-rows", type=int, default=16)
+    ap.add_argument("--fuse", action="store_true",
+                    help="use the fused Pallas interface kernel")
     ap.add_argument("--lo", type=int, default=5)
     ap.add_argument("--hi", type=int, default=205)
     args = ap.parse_args()
@@ -45,6 +47,18 @@ def main():
         lat, lt.deuteron_potential_3d, dtype="float32",
         min_grid_rows=args.min_grid_rows,
     )
+    if args.fuse:
+        from lanczos_tpu.ops.interface_kernel import plan_interface_kernel
+        import dataclasses as _dc
+
+        plan = plan_interface_kernel(
+            comp.grid_meta, comp.level_meta,
+            [np.asarray(w, np.float64) for w in comp.grid_w],
+        )
+        comp = _dc.replace(comp, fused_plan=plan)
+        print(f"fused: {len(plan.classes)} classes in-kernel, "
+              f"{len(plan.fallback)} fallback, "
+              f"{len(plan.operands)} operands", flush=True)
     m = comp.shape[0]
     p = lat.num_points
     n_classes = len(comp.grid_meta)
@@ -95,10 +109,34 @@ def main():
                             gshape
                         )
                     )
-                y = interface_apply_full(
-                    x3, v, comp.grid_meta, comp.grid_w, comp.level_meta,
-                    comp.ifc_buckets,
-                )
+                if comp.fused_plan is not None:
+                    from lanczos_tpu.ops.interface_kernel import (
+                        apply_fused_interface,
+                    )
+                    from lanczos_tpu.ops.pallas_kernels import pallas_supported
+
+                    y3 = [
+                        jnp.zeros(gshape, v.dtype)
+                        for (a, gshape, st) in comp.level_meta
+                    ]
+                    y3 = apply_fused_interface(
+                        comp.fused_plan, x3, y3,
+                        interpret=not pallas_supported(),
+                    )
+                    y = jnp.concatenate([t.reshape(-1) for t in y3])
+                    fb = comp.fused_plan.fallback
+                    if fb or comp.ifc_buckets:
+                        y = y + interface_apply_full(
+                            x3, v,
+                            tuple(comp.grid_meta[i] for i in fb),
+                            tuple(comp.grid_w[i] for i in fb),
+                            comp.level_meta, comp.ifc_buckets,
+                        )
+                else:
+                    y = interface_apply_full(
+                        x3, v, comp.grid_meta, comp.grid_w, comp.level_meta,
+                        comp.ifc_buckets,
+                    )
                 return v * jnp.asarray(1e-2, v.dtype) + y * jnp.asarray(
                     1e-6, v.dtype
                 )

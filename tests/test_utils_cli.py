@@ -237,3 +237,21 @@ def test_cli_export_matrix_smoke(tmp_path):
     assert out.returncode == 0, out.stderr
     assert (tmp_path / "m.dat").exists()
     assert open(tmp_path / "m.dat").read().startswith("numd = 3;")
+
+
+def test_cli_solve_regular_restart(capsys):
+    from lanczos_tpu.cli import main
+
+    main(["solve-regular", "-N", "12", "-k", "3", "--restart",
+          "--tol", "1e-8", "--dtype", "float64", "--platform", "cpu"])
+    out = capsys.readouterr().out
+    assert "regular 12^3" in out
+
+
+def test_cli_solve_regular_block(capsys):
+    from lanczos_tpu.cli import main
+
+    main(["solve-regular", "-N", "12", "-k", "3", "--block-size", "2",
+          "--tol", "1e-8", "--dtype", "float64", "--platform", "cpu"])
+    out = capsys.readouterr().out
+    assert "regular 12^3" in out
