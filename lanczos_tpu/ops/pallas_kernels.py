@@ -59,9 +59,13 @@ def pallas_supported() -> bool:
     return jax.default_backend() == "tpu"
 
 
-# Flat-layout VMEM working-set budget (MB); module-level so perf experiments
-# can tune the slab height without editing code.
-_FLAT_VMEM_MB = 48
+# Flat-layout VMEM working-set budget (MB); env-tunable so on-chip perf
+# experiments can sweep the slab height without editing code (taller slabs
+# cut the 8-plane halo-block fetch fraction: tz=40 reads 1.4x of x at
+# N=160, tz=80 reads 1.2x).
+import os as _os
+
+_FLAT_VMEM_MB = int(_os.environ.get("LANCZOS_FLAT_VMEM_MB", "48"))
 
 
 def _pick_tz(nz: int, plane_elems: int, itemsize: int) -> int:
@@ -170,13 +174,14 @@ def _graded_flat(slab, body, w0, w1, w2, w3, ny: int, nx: int, col_x):
     plane; Sy is one plane-periodic aligned roll pair, Sz is free slab
     slices) exactly ONCE:
 
-        y  = w0 x + w1 Sy x + Sz D + Sx (D|body + Sz U)
-        D  = w1 x + w2 Sy x          (needed on all slab rows)
-        U  = w2 x + w3 Sy x
+        y = w0 x + w1 Sy x + Sz(w1 x + w2 Sy x) + Sx C
+        C = w1 x + w2 Sy x + Sz(w2 x + w3 Sy x)
 
-    The kernel is VMEM-bandwidth-bound; this form materializes one fewer
-    rolled operand than the two-branch a/b form (4 misaligned x-rolls
-    instead of 8).
+    The kernel is VMEM-PASS-bound (round-3: ~24 slab-size VMEM passes ~
+    100 us at N=160^3); this form materializes only body-sized
+    z-neighbour sums (sz_*) instead of the earlier slab-sized D/U
+    operands — 2 fewer slab materializations (round 4) — and 4 misaligned
+    x-rolls instead of the two-branch form's 8.
     """
     tz = body.shape[0]
     p_plane = body.shape[1]
@@ -185,15 +190,16 @@ def _graded_flat(slab, body, w0, w1, w2, w3, ny: int, nx: int, col_x):
         return pltpu.roll(a, shift=(-dy * nx) % p_plane, axis=1)
 
     sy = roll_y(slab, 1) + roll_y(slab, -1)  # Sy x on slab rows
-    d = w1 * slab + w2 * sy
-    u = w2 * slab + w3 * sy
-    c = d[1 : tz + 1] + u[0:tz] + u[2 : tz + 2]  # D|body + Sz U
+    sy_body = sy[1 : tz + 1]
+    sz_slab = slab[0:tz] + slab[2 : tz + 2]  # Sz x on body rows
+    sz_sy = sy[0:tz] + sy[2 : tz + 2]  # Sz Sy x on body rows
+    c = w1 * body + w2 * sy_body + w2 * sz_slab + w3 * sz_sy
     sxc = _roll_flat_x(c, 1, nx, col_x) + _roll_flat_x(c, -1, nx, col_x)
     return (
         w0 * body
-        + w1 * sy[1 : tz + 1]
-        + d[0:tz]
-        + d[2 : tz + 2]
+        + w1 * sy_body
+        + w1 * sz_slab
+        + w2 * sz_sy
         + sxc
     )
 
