@@ -97,6 +97,18 @@ def main():
     ap.add_argument("--save-vectors", default="",
                     help="npz path for (lam, X64 region-layout, idx_map) — "
                     "enables continuing the refinement without re-solving")
+    ap.add_argument(
+        "--solve-cache", default="",
+        help="npz path: the fp32 solve result is saved here IMMEDIATELY "
+        "after readback (the TPU worker crashed mid-refinement on "
+        "2026-08-21, losing a converged 32-min solve), and reloaded "
+        "instead of re-solving when the file exists",
+    )
+    ap.add_argument(
+        "--scipy-json", default="",
+        help="merge the race result of a standalone parallel "
+        "scripts/northstar_scipy.py run instead of racing in-process",
+    )
     ap.add_argument("--out", default="NORTHSTAR_r04.json")
     args = ap.parse_args()
 
@@ -151,48 +163,72 @@ def main():
     n_locked = args.n_locked or min(kk + 4, max_basis - 2)
     info["max_basis"] = max_basis
     info["n_locked"] = n_locked
-    rng = np.random.default_rng(99)
-    v0 = np.zeros(m_op, dtype=np.float32)
-    v0[idx_map] = rng.uniform(-1, 1, size=p).astype(np.float32)
-    t0 = time.time()
-    res = eigsh_restarted(
-        comp,
-        k=kk,
-        tol=args.fp32_tol,
-        which="SA",
-        dtype="float32",
-        v0=jnp.asarray(v0),
-        compensated=True,
-        max_basis=max_basis,
-        n_locked=n_locked,
-        max_cycles=args.max_cycles,
-        rr_verify=False,
-        verbose=True,
-    )
-    info["t_solve_fp32_s"] = time.time() - t0
-    lam32 = np.asarray(res.eigenvalues, np.float64)
+    if args.solve_cache and os.path.exists(args.solve_cache):
+        print(f"[northstar] resuming fp32 solve from {args.solve_cache}",
+              flush=True)
+        cache = np.load(args.solve_cache)
+        lam32 = np.asarray(cache["lam32"], np.float64)
+        X32 = np.asarray(cache["X32"], np.float32)
+        info["t_solve_fp32_s"] = float(cache["t_solve_fp32_s"])
+        info["solve_resumed_from_cache"] = True
+    else:
+        rng = np.random.default_rng(99)
+        v0 = np.zeros(m_op, dtype=np.float32)
+        v0[idx_map] = rng.uniform(-1, 1, size=p).astype(np.float32)
+        t0 = time.time()
+        res = eigsh_restarted(
+            comp,
+            k=kk,
+            tol=args.fp32_tol,
+            which="SA",
+            dtype="float32",
+            v0=jnp.asarray(v0),
+            compensated=True,
+            max_basis=max_basis,
+            n_locked=n_locked,
+            max_cycles=args.max_cycles,
+            rr_verify=False,
+            verbose=True,
+        )
+        info["t_solve_fp32_s"] = time.time() - t0
+        lam32 = np.asarray(res.eigenvalues, np.float64)
+        X32 = np.asarray(res.eigenvectors)  # (M, kk) fp32, host
+        del res
+        if args.solve_cache:
+            np.savez(args.solve_cache, lam32=lam32, X32=X32,
+                     t_solve_fp32_s=info["t_solve_fp32_s"])
+            print(f"[northstar] solve cached -> {args.solve_cache}",
+                  flush=True)
     print(f"[northstar] fp32 solve {info['t_solve_fp32_s']:.1f}s "
           f"lam[0]={lam32[0]:.9g}", flush=True)
 
     # Double-word refinement (host-anchored fp64 master, chunked fp32-pair
-    # device compute).
-    X64 = np.asarray(res.eigenvectors, np.float64)
-    del res
+    # device compute).  A TPU-worker crash mid-refinement must not lose the
+    # run: fall back to the unrefined fp32 pairs and record the failure.
+    X64 = np.asarray(X32, np.float64)
+    del X32
     if args.skip_refine:
         lam = lam32
         rel = np.full(kk, np.nan)
         info["t_refine_s"] = 0.0
     else:
         t0 = time.time()
-        lam, X64, rel = refine_eigenpairs_dd_hosted(
-            comp, lam32, X64,
-            tol=args.tol,
-            max_rounds=args.refine_rounds,
-            cg_steps=args.cg_steps,
-            col_chunk=args.col_chunk,
-            k_report=args.k,
-            verbose=True,
-        )
+        try:
+            lam, X64, rel = refine_eigenpairs_dd_hosted(
+                comp, lam32, X64,
+                tol=args.tol,
+                max_rounds=args.refine_rounds,
+                cg_steps=args.cg_steps,
+                col_chunk=args.col_chunk,
+                k_report=args.k,
+                verbose=True,
+            )
+        except Exception as e:  # worker crash / OOM: keep what we have
+            info["refine_error"] = f"{type(e).__name__}: {e}"[:400]
+            lam = lam32
+            rel = np.full(kk, np.nan)
+            print(f"[northstar] REFINE FAILED ({type(e).__name__}) — "
+                  f"continuing with fp32 pairs", flush=True)
         info["t_refine_s"] = time.time() - t0
         print(f"[northstar] dd refine {info['t_refine_s']:.1f}s "
               f"max rel {np.nanmax(rel):.2e}", flush=True)
@@ -240,7 +276,24 @@ def main():
           f"median {np.median(true_res):.2e} "
           f"(/||L||: {res_opnorm.max():.2e})", flush=True)
 
-    if not args.skip_scipy:
+    if args.scipy_json and os.path.exists(args.scipy_json):
+        with open(args.scipy_json) as f:
+            sc = json.load(f)
+        info["scipy_race"] = sc
+        t_scipy = sc.get("scipy_eigsh_s")
+        if t_scipy:
+            info["scipy_eigsh_s"] = t_scipy
+            info["speedup_vs_scipy"] = t_scipy / info["t_solve_s"]
+        elif sc.get("started_unix"):
+            lower = time.time() - sc["started_unix"]
+            info["scipy_eigsh_s"] = None
+            info["scipy_elapsed_lower_bound_s"] = lower
+            info["speedup_vs_scipy"] = lower / info["t_solve_s"]
+            info["speedup_note"] = (
+                "lower bound (standalone scipy run still unfinished when "
+                "recorded; ran CONCURRENTLY on the same 2-core host)"
+            )
+    elif not args.skip_scipy:
         import multiprocessing as mp
 
         def scipy_run(q):
