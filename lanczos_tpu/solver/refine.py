@@ -285,6 +285,31 @@ def _dd_residual_cols(op, Xh, Xl, lam_h, lam_l):
     return Rh, Rl, xr / xx, jnp.sqrt(rr / xx)
 
 
+def _device_retry(fn, tries=3, wait=20.0):
+    """Retry a pure device-call unit across transient tunnel failures.
+
+    The axon runtime's remote_compile intermittently drops its response
+    mid-body (observed twice at north-star scale, 2026-08-21), surfacing
+    as JaxRuntimeError INTERNAL; the call is pure, so re-issuing it is
+    safe and usually succeeds (a genuinely dead worker still raises after
+    the retries).  The 20 s wait matches the tunnel's observed recovery
+    time (ROADMAP quirks)."""
+    import time as _time
+
+    for attempt in range(tries):
+        try:
+            return fn()
+        except Exception as e:
+            if attempt == tries - 1:
+                raise
+            print(
+                f"[refine] device call failed ({type(e).__name__}); "
+                f"retry {attempt + 1}/{tries - 1} in {wait:.0f}s",
+                flush=True,
+            )
+            _time.sleep(wait)
+
+
 def refine_eigenpairs_dd_hosted(
     op,
     lam: np.ndarray,
@@ -330,15 +355,25 @@ def refine_eigenpairs_dd_hosted(
         for lo in range(0, k, col_chunk):
             hi = min(lo + col_chunk, k)
             Xc = X64[:, lo:hi]
-            Xh = jnp.asarray(Xc.astype(np.float32))
-            Xl = jnp.asarray((Xc - np.asarray(Xh, np.float64)).astype(np.float32))
+            Xh32 = Xc.astype(np.float32)
+            Xl32 = (Xc - Xh32.astype(np.float64)).astype(np.float32)
             lh, ll = _split_vec(lam[lo:hi])
-            Rh, Rl, c_, r_ = _dd_residual_cols(op, Xh, Xl, lh, ll)
-            corr[lo:hi] = np.asarray(c_, np.float64)
-            relr[lo:hi] = np.asarray(r_, np.float64)
-            # Host-side staging: keeping all chunks device-resident would
-            # add a second full (M, k) block to HBM.
-            R32 = np.asarray(Rh + Rl, np.float32)
+
+            def chunk_unit():
+                Rh, Rl, c_, r_ = _dd_residual_cols(
+                    op, jnp.asarray(Xh32), jnp.asarray(Xl32), lh, ll
+                )
+                # Host-side staging: keeping all chunks device-resident
+                # would add a second full (M, k) block to HBM.
+                return (
+                    np.asarray(c_, np.float64),
+                    np.asarray(r_, np.float64),
+                    np.asarray(Rh + Rl, np.float32),
+                )
+
+            c_np, r_np, R32 = _device_retry(chunk_unit)
+            corr[lo:hi] = c_np
+            relr[lo:hi] = r_np
             if collect_C:
                 # C = X^T R on the HOST — keeping a device-resident full X
                 # block during the dd residual pass was an on-chip OOM at
@@ -379,10 +414,15 @@ def refine_eigenpairs_dd_hosted(
         Xh_dev = jnp.asarray(X64.astype(np.float32))
         for ci, lo in enumerate(range(0, k, col_chunk)):
             hi = min(lo + col_chunk, k)
-            D = _deflated_cg(
-                op, Xh_dev, lam32[lo:hi], jnp.asarray(R_chunks[ci]), cg_steps
-            )
-            X64[:, lo:hi] += np.asarray(D, np.float64)
+
+            def cg_unit(_lo=lo, _hi=hi, _ci=ci):
+                D = _deflated_cg(
+                    op, Xh_dev, lam32[_lo:_hi],
+                    jnp.asarray(R_chunks[_ci]), cg_steps,
+                )
+                return np.asarray(D, np.float64)
+
+            X64[:, lo:hi] += _device_retry(cg_unit)
         del Xh_dev
         X64 /= np.linalg.norm(X64, axis=0)[None, :]
     corr, relr, _, _ = chunked_residual(False)
