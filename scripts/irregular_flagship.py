@@ -32,9 +32,17 @@ def main():
         "disable; the recorded JSON setting matches the flag, ADVICE r3)",
     )
     ap.add_argument("--out", default="IRREGULAR_r04.json")
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (lets the artifact run while the TPU "
+        "chip is held by the north-star run; the backend is recorded)",
+    )
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     import lanczos_tpu as lt
     from lanczos_tpu.models.irr_hamiltonian import (
