@@ -25,7 +25,12 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["available", "find_neighbors_native", "pack_ell_native"]
+__all__ = [
+    "available",
+    "find_neighbors_native",
+    "pack_ell_native",
+    "reciprocal_mask_native",
+]
 
 _SRC = os.path.join(os.path.dirname(__file__), "neighbor_engine.cpp")
 _LOCK = threading.Lock()
@@ -52,7 +57,7 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         fd, tmp = tempfile.mkstemp(suffix=".so", dir=cache_dir)
         os.close(fd)
         cmd = [
-            "g++", "-O3", "-march=native", "-std=c++17",
+            "g++", "-O3", "-march=native", "-std=c++17", "-fopenmp",
             "-shared", "-fPIC", _SRC, "-o", tmp,
         ]
         try:
@@ -91,6 +96,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         _I32, _F64,
     ]
     lib.pack_ell.restype = None
+    lib.reciprocal_mask.argtypes = [
+        _I64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.reciprocal_mask.restype = None
     return lib
 
 
@@ -150,6 +160,26 @@ def find_neighbors_native(
         *args, ctypes.c_int64(k), _ptr(nbrs, _I64), _ptr(rels, _I64)
     )
     return nbrs, rels
+
+
+def reciprocal_mask_native(nbrs: np.ndarray) -> Optional[np.ndarray]:
+    """keep[i, j] = True iff edge (i -> nbrs[i, j]) has its reverse edge.
+
+    Native counterpart of the sort+searchsorted reciprocity pass of
+    scripts/northstar.py (246 s -> seconds at 341M edges); None when the
+    engine is unavailable.
+    """
+    lib = _lib()
+    if lib is None:
+        return None
+    nbrs = np.ascontiguousarray(nbrs, dtype=np.int64)
+    p, k = nbrs.shape
+    keep = np.empty((p, k), dtype=np.uint8)
+    lib.reciprocal_mask(
+        _ptr(nbrs, _I64), ctypes.c_int64(p), ctypes.c_int64(k),
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return keep.astype(bool)
 
 
 def pack_ell_native(

@@ -72,6 +72,43 @@ def _orth_block(basis_flat, r):
     return r
 
 
+def _qr_cure_breakdown(r, q_next, b_j, orth_fn, j):
+    """Block-Lanczos breakdown handling for a (near-)rank-deficient residual
+    block — exactly the degenerate-multiplet case this solver targets.
+
+    ``jnp.linalg.qr`` of a rank-deficient r returns ARBITRARY columns for
+    the deficient directions (near-zero diagonal in b_j, not orthogonal to
+    the basis); feeding them into the recurrence silently corrupts it and
+    the non-finite guard never fires.  Standard cure (Golub–Underwood
+    block-Lanczos deflation): replace deficient columns with fresh random
+    directions orthogonalized against the whole basis, re-orthonormalize,
+    and zero their coupling rows in b_j (the deficient directions carry
+    only ~eps residual mass, so the block-tridiagonal model stays honest).
+
+    orth_fn: projects an (M, b) block against the current full basis.
+    j:       step index (traced ok) — salts the replacement directions.
+    """
+    eps = jnp.finfo(r.dtype).eps
+    diag = jnp.abs(jnp.diagonal(b_j))
+    scale = jnp.maximum(
+        jnp.max(diag), jnp.asarray(jnp.finfo(r.dtype).tiny, r.dtype)
+    )
+    bad = diag <= jnp.sqrt(eps) * scale
+
+    def cure(args):
+        q_next, b_j = args
+        key = jax.random.fold_in(jax.random.PRNGKey(1718), j)
+        rnd = jax.random.normal(key, q_next.shape, q_next.dtype)
+        cand = jnp.where(bad[None, :], rnd, q_next)
+        cand = orth_fn(cand)
+        q_fix, _ = jnp.linalg.qr(cand)
+        b_fix = jnp.dot(q_fix.T, r, precision=_PRECISION)
+        b_fix = jnp.where(bad[:, None], jnp.zeros_like(b_fix), b_fix)
+        return q_fix, b_fix
+
+    return jax.lax.cond(jnp.any(bad), cure, lambda a: a, (q_next, b_j))
+
+
 def block_lanczos_kernel(
     matmat,
     q0: jax.Array,  # (M, b) initial block, need not be orthonormal
@@ -101,6 +138,9 @@ def block_lanczos_kernel(
         basis_flat = Q.reshape(num_blocks * b, m)
         r = _orth_block(basis_flat, r)
         q_next, b_j = jnp.linalg.qr(r)  # (M, b), (b, b) upper triangular
+        q_next, b_j = _qr_cure_breakdown(
+            r, q_next, b_j, lambda c: _orth_block(basis_flat, c), j
+        )
 
         Q = jax.lax.dynamic_update_slice_in_dim(
             Q, q_next.T[None], j + 1, axis=0
@@ -182,6 +222,9 @@ def _block_cycle_jit(op, V, Q0t, l, nb, b):
         # component and the locked coupling in one sweep.
         r = orth(V, r)
         q_next, b_j = jnp.linalg.qr(r)
+        q_next, b_j = _qr_cure_breakdown(
+            r, q_next, b_j, lambda c: orth(V, c), j
+        )
         V = jax.lax.dynamic_update_slice_in_dim(
             V, q_next.T, l + (j + 1) * b, axis=0
         )

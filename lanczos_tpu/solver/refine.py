@@ -285,6 +285,32 @@ def _dd_residual_cols(op, Xh, Xl, lam_h, lam_l):
     return Rh, Rl, xr / xx, jnp.sqrt(rr / xx)
 
 
+_TRANSIENT_MARKERS = (
+    "INTERNAL",
+    "UNAVAILABLE",
+    "DEADLINE_EXCEEDED",
+    "remote_compile",
+    "read body",
+    "response body",
+    "Connection reset",
+    "Socket closed",
+)
+
+
+def _is_transient(e: Exception) -> bool:
+    """True only for the tunnel's transient runtime faults.
+
+    Deterministic failures (shape errors, tracer errors, genuine device
+    OOM) must surface immediately — retrying them 3x with 20 s sleeps only
+    delays and muddies the real error (advisor finding, r4)."""
+    if type(e).__name__ not in ("JaxRuntimeError", "XlaRuntimeError"):
+        return False
+    msg = str(e)
+    if "RESOURCE_EXHAUSTED" in msg:  # genuine HBM OOM: deterministic
+        return False
+    return any(m in msg for m in _TRANSIENT_MARKERS)
+
+
 def _device_retry(fn, tries=3, wait=20.0):
     """Retry a pure device-call unit across transient tunnel failures.
 
@@ -293,21 +319,34 @@ def _device_retry(fn, tries=3, wait=20.0):
     as JaxRuntimeError INTERNAL; the call is pure, so re-issuing it is
     safe and usually succeeds (a genuinely dead worker still raises after
     the retries).  The 20 s wait matches the tunnel's observed recovery
-    time (ROADMAP quirks)."""
+    time (ROADMAP quirks).  Non-transient exceptions re-raise immediately
+    (see _is_transient)."""
     import time as _time
 
     for attempt in range(tries):
         try:
             return fn()
         except Exception as e:
-            if attempt == tries - 1:
+            if attempt == tries - 1 or not _is_transient(e):
                 raise
             print(
-                f"[refine] device call failed ({type(e).__name__}); "
+                f"[refine] transient device fault ({type(e).__name__}); "
                 f"retry {attempt + 1}/{tries - 1} in {wait:.0f}s",
                 flush=True,
             )
             _time.sleep(wait)
+
+
+def _host_rss_gb() -> float:
+    """Current process RSS in GiB (stdlib, /proc)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return float(line.split()[1]) / (1024 * 1024)
+    except OSError:
+        pass
+    return float("nan")
 
 
 def refine_eigenpairs_dd_hosted(
@@ -338,6 +377,19 @@ def refine_eigenpairs_dd_hosted(
 
     Same math as refine_eigenpairs_dd; returns (lam, X64, rel) with X64
     updated in place.
+
+    HOST-MEMORY CONTRACT (the r4 north-star attempt died at 130 GB RSS on
+    a 125 GB host — every unbounded temporary is now gone): peak host RSS
+    is X64 itself (M*k*8 B) + one fp32 copy of X64 (M*k*4 B, alive only
+    during the CG phase) + O(M * col_chunk) chunk temporaries.  At
+    M = 13.1e6, k = 114 that is ~12 + ~6 + ~1 GB = ~19 GB.  Concretely:
+
+    * the in-span rotation ``X64 @ Z`` runs IN PLACE over row blocks
+      (never a second (M, k) fp64 array);
+    * residual chunks are NEVER accumulated across columns; in the
+      correction phase each chunk's dd residual stays ON DEVICE and feeds
+      the deflated-CG solve directly (no host round-trip of R at all);
+    * every device call goes through _device_retry (transient-fault-only).
     """
     import scipy.linalg
 
@@ -345,30 +397,35 @@ def refine_eigenpairs_dd_hosted(
     X64 = np.asarray(X64, np.float64)
     m, k = X64.shape
     rel = None
+    row_block = max(1, (64 << 20) // (8 * k))  # ~64 MB fp64 row blocks
 
-    def chunked_residual(collect_C):
-        nonlocal lam
+    def _chunk_pair(lo, hi):
+        Xc = X64[:, lo:hi]
+        Xh32 = Xc.astype(np.float32)
+        Xl32 = (Xc - Xh32.astype(np.float64)).astype(np.float32)
+        return Xh32, Xl32
+
+    def residual_pass(collect_C):
+        """One dd-residual sweep over all columns; optionally C = X^T R.
+
+        Returns (corr, relr, C).  No per-chunk residual is retained."""
         C = np.zeros((k, k)) if collect_C else None
         corr = np.zeros(k)
         relr = np.zeros(k)
-        R_chunks = []
         for lo in range(0, k, col_chunk):
             hi = min(lo + col_chunk, k)
-            Xc = X64[:, lo:hi]
-            Xh32 = Xc.astype(np.float32)
-            Xl32 = (Xc - Xh32.astype(np.float64)).astype(np.float32)
+            Xh32, Xl32 = _chunk_pair(lo, hi)
             lh, ll = _split_vec(lam[lo:hi])
 
             def chunk_unit():
                 Rh, Rl, c_, r_ = _dd_residual_cols(
                     op, jnp.asarray(Xh32), jnp.asarray(Xl32), lh, ll
                 )
-                # Host-side staging: keeping all chunks device-resident
-                # would add a second full (M, k) block to HBM.
+                R32 = np.asarray(Rh + Rl, np.float32) if collect_C else None
                 return (
                     np.asarray(c_, np.float64),
                     np.asarray(r_, np.float64),
-                    np.asarray(Rh + Rl, np.float32),
+                    R32,
                 )
 
             c_np, r_np, R32 = _device_retry(chunk_unit)
@@ -379,18 +436,19 @@ def refine_eigenpairs_dd_hosted(
                 # block during the dd residual pass was an on-chip OOM at
                 # M ~ 13M (R is eps-small, so BLAS accuracy suffices).
                 C[:, lo:hi] = X64.T @ R32
-            R_chunks.append(R32)
-        return corr, relr, C, R_chunks
+            del R32
+        return corr, relr, C
 
     for rnd in range(max_rounds):
-        corr, relr, C, _ = chunked_residual(True)
+        corr, relr, C = residual_pass(True)
         lam_pre = lam.copy()  # the lambda R (and hence C) was computed at
         lam = lam + corr
         rel = relr / np.maximum(np.abs(lam), 1e-30)
         kr = k_report or k
         if verbose:
             print(f"refine_dd_hosted round {rnd}: max rel {rel.max():.3e} "
-                  f"(first {kr}: {rel[:kr].max():.3e})", flush=True)
+                  f"(first {kr}: {rel[:kr].max():.3e}) "
+                  f"[host RSS {_host_rss_gb():.1f} GB]", flush=True)
         if (rel[:kr] < tol).all():
             break
         # ---- in-span rotation, host fp64 BLAS (S needs the pre-correction
@@ -403,29 +461,46 @@ def refine_eigenpairs_dd_hosted(
             mu, Z = scipy.linalg.eigh(S, G)
         except np.linalg.LinAlgError:
             mu, Z = scipy.linalg.eigh(S)
-        X64 = X64 @ Z
+        # In-place blocked rotation: X64 @ Z without a second (M, k) array.
+        for r0 in range(0, m, row_block):
+            r1 = min(r0 + row_block, m)
+            X64[r0:r1] = X64[r0:r1] @ Z
         lam = mu
-        # ---- out-of-span correction, chunked CG against the rotated block.
-        corr, relr, _, R_chunks = chunked_residual(False)
-        lam = lam + corr
-        lam32 = jnp.asarray(lam.astype(np.float32))
-        # The deflation block goes on-device only for the CG phase (and is
-        # dropped before the next round's dd residual pass).
-        Xh_dev = jnp.asarray(X64.astype(np.float32))
-        for ci, lo in enumerate(range(0, k, col_chunk)):
+        # ---- out-of-span correction: per chunk, the dd residual of the
+        # ROTATED block is computed on device and fed straight into the
+        # deflated CG (R never visits the host).  The fp32 deflation block
+        # is built blockwise into a preallocated array (no .astype double
+        # allocation) and lives on device only for this phase.
+        X32 = np.empty((m, k), np.float32)
+        for r0 in range(0, m, row_block):
+            r1 = min(r0 + row_block, m)
+            X32[r0:r1] = X64[r0:r1]
+        Xh_dev = _device_retry(lambda: jnp.asarray(X32))
+        del X32
+        for lo in range(0, k, col_chunk):
             hi = min(lo + col_chunk, k)
+            Xh32, Xl32 = _chunk_pair(lo, hi)
+            lh, ll = _split_vec(lam[lo:hi])
 
-            def cg_unit(_lo=lo, _hi=hi, _ci=ci):
-                D = _deflated_cg(
-                    op, Xh_dev, lam32[_lo:_hi],
-                    jnp.asarray(R_chunks[_ci]), cg_steps,
+            def fused_unit(_lo=lo, _hi=hi, _Xh=Xh32, _Xl=Xl32,
+                           _lh=lh, _ll=ll):
+                Rh, Rl, c_, _ = _dd_residual_cols(
+                    op, jnp.asarray(_Xh), jnp.asarray(_Xl), _lh, _ll
                 )
-                return np.asarray(D, np.float64)
+                c_np = np.asarray(c_, np.float64)
+                lam_c = (lam[_lo:_hi] + c_np).astype(np.float32)
+                D = _deflated_cg(
+                    op, Xh_dev, jnp.asarray(lam_c), Rh + Rl, cg_steps
+                )
+                return c_np, np.asarray(D, np.float64)
 
-            X64[:, lo:hi] += _device_retry(cg_unit)
+            c_np, D = _device_retry(fused_unit)
+            lam[lo:hi] += c_np
+            X64[:, lo:hi] += D
+            del D
         del Xh_dev
         X64 /= np.linalg.norm(X64, axis=0)[None, :]
-    corr, relr, _, _ = chunked_residual(False)
+    corr, relr, _ = residual_pass(False)
     lam = lam + corr
     rel = relr / np.maximum(np.abs(lam), 1e-30)
     return lam, X64, rel

@@ -425,7 +425,8 @@ def eigsh_restarted(
         # (M, k) transpose next to the (m, M) basis is an OOM.  Small
         # transfers also give progress visibility.
         vecs = np.empty((mdim, k), dtype=np.dtype(V.dtype))
-        row_chunk = max(1, min(k, (1 << 28) // (mdim * 4)))  # ~256 MB
+        itemsize = np.dtype(V.dtype).itemsize
+        row_chunk = max(1, min(k, (1 << 28) // (mdim * itemsize)))  # ~256 MB
         Vk = V[:k].reshape(k, mdim)
         for lo_r in range(0, k, row_chunk):
             hi_r = min(lo_r + row_chunk, k)
@@ -438,6 +439,7 @@ def eigsh_restarted(
             eigenvectors=vecs,
             residuals=jnp.asarray(np.broadcast_to(est, (k,)).copy()),
             inner_prod=jnp.full((k,), jnp.nan, dtype=dtype),
+            residuals_are_estimates=True,
         )
     if refined is None:
         lam, Xr, tres, _ = _refine_host(op, V[:k].reshape(k, mdim).T)

@@ -25,11 +25,23 @@ import numpy as np
 
 
 def _chain_time_per_iter(make_chain, x, lo=5, hi=505, repeats=5):
-    """Per-iteration time of ``make_chain(n)(x)`` via two-length differencing.
+    """Median per-iteration time of ``make_chain(n)(x)`` via two-length
+    differencing (backwards-compatible scalar form of _chain_time_stats)."""
+    return _chain_time_stats(make_chain, x, lo=lo, hi=hi, repeats=repeats)[
+        "median_s"
+    ]
+
+
+def _chain_time_stats(make_chain, x, lo=5, hi=505, repeats=7):
+    """Per-iteration time DISTRIBUTION of ``make_chain(n)(x)``.
 
     The chain must return an array whose [0] element depends on every
     iteration; reading it back forces completion on runtimes where
-    block_until_ready is unreliable.
+    block_until_ready is unreliable.  ``repeats`` interleaved (lo, hi)
+    pairs give ``repeats`` independent differenced estimates; the tunneled
+    chip's throughput varies ~2.5x run-to-run (ROADMAP r4), so a single
+    number cannot distinguish regression from noise — callers get
+    median/min/max and must report the spread alongside the median.
     """
     f_lo, f_hi = make_chain(lo), make_chain(hi)
     for f in (f_lo, f_hi):
@@ -40,9 +52,24 @@ def _chain_time_per_iter(make_chain, x, lo=5, hi=505, repeats=5):
         float(f(x).reshape(-1)[0])
         return time.perf_counter() - t0
 
-    t_lo = min(once(f_lo) for _ in range(repeats))
-    t_hi = min(once(f_hi) for _ in range(repeats))
-    return max((t_hi - t_lo) / (hi - lo), 1e-9)
+    samples = []
+    for _ in range(repeats):
+        # min-of-2 inside each sample suppresses single-dispatch outliers
+        # (a slow t_lo would otherwise make the difference negative).
+        t_lo = min(once(f_lo), once(f_lo))
+        t_hi = min(once(f_hi), once(f_hi))
+        d = (t_hi - t_lo) / (hi - lo)
+        if d > 0:
+            samples.append(d)
+    if not samples:
+        raise RuntimeError("all differenced timing samples were nonpositive")
+    samples = np.asarray(samples)
+    return {
+        "median_s": float(np.median(samples)),
+        "min_s": float(samples.min()),
+        "max_s": float(samples.max()),
+        "n_samples": int(len(samples)),
+    }
 
 
 def bench_tpu_spmv(n_grid=160, dtype="float32"):
@@ -71,7 +98,8 @@ def bench_tpu_spmv(n_grid=160, dtype="float32"):
     # solvers do since they became vec_shape-aware (a flat carry would add
     # a ~50 us/SpMV HBM relayout that no solver pays anymore).
     x = jnp.ones(H.vec_shape, dtype=dtype) / np.sqrt(m)
-    per_spmv = _chain_time_per_iter(make_chain, x)
+    stats = _chain_time_stats(make_chain, x)
+    per_spmv = stats["median_s"]
     itemsize = jnp.dtype(dtype).itemsize
     bytes_per = 3 * m * itemsize  # read x, write y, read diag
     nnz_per = 27 * m  # stencil taps (diagonal merged into the center tap)
@@ -79,6 +107,9 @@ def bench_tpu_spmv(n_grid=160, dtype="float32"):
         "m": m,
         "spmv_s": per_spmv,
         "gbps": bytes_per / per_spmv / 1e9,
+        "gbps_best": bytes_per / stats["min_s"] / 1e9,
+        "gbps_worst": bytes_per / stats["max_s"] / 1e9,
+        "n_samples": stats["n_samples"],
         "nnz_per_s": nnz_per / per_spmv,
         "backend": jax.default_backend(),
     }
@@ -125,6 +156,12 @@ def main():
                 "detail": {
                     "problem": "3D deuteron, 27pt stencil, N=160^3, fp32",
                     "backend": tpu["backend"],
+                    "statistic": "median over differenced samples",
+                    "gbps_spread": [
+                        round(tpu["gbps_worst"], 2),
+                        round(tpu["gbps_best"], 2),
+                    ],
+                    "n_samples": tpu["n_samples"],
                     "spmv_time_s": round(tpu["spmv_s"], 6),
                     "nnz_per_s": round(tpu["nnz_per_s"], 0),
                     "baseline": "scipy CSR SpMV, host CPU (reference path)",

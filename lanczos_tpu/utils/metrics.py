@@ -18,7 +18,60 @@ import numpy as np
 
 from ..ops.operators import EllOperator, LinearOperator, StencilOperator
 
-__all__ = ["MatvecStats", "benchmark_matvec", "profile_trace", "operator_nnz"]
+__all__ = [
+    "MatvecStats",
+    "benchmark_matvec",
+    "exchange_stats",
+    "profile_trace",
+    "operator_nnz",
+]
+
+
+def exchange_stats(op, num_devices: int) -> dict:
+    """Per-matvec interconnect exchange volume of a SHARDED operator.
+
+    Returns a dict with per-device received element count, bytes, and the
+    fraction of the operator dimension M — the quantity the reference's
+    writeup bounds at 7-14% surface points for 40-point boxes
+    (/root/reference/Writeup/notes.tex:332).  Covers every sharded SpMV
+    format in ``lanczos_tpu.parallel``:
+
+    * z-slab StencilOperator: 2*halo boundary planes via ppermute;
+    * row-sharded EllOperator: tiled all-gather of x (M - M/D received);
+    * EllHaloOperator: the (D, E) export table ((D-1)*E received);
+    * ShardedCompositeV2: per-level halo planes + planned surface runs
+      (delegates to its own ``exchange_elements``).
+    """
+    from ..parallel.distributed import EllHaloOperator as _Halo
+
+    itemsize = np.dtype(op.dtype).itemsize
+    m = int(op.shape[0])
+    if isinstance(op, StencilOperator):
+        halo = max(abs(off[0]) for off in op.offsets)
+        planes = int(np.prod(op.grid_shape[1:]))
+        recv = 2 * halo * planes
+        kind = "stencil-zslab-ppermute"
+    elif isinstance(op, _Halo):
+        e = int(op.export_ids.shape[1])
+        recv = (num_devices - 1) * e
+        kind = "ell-halo-table"
+    elif isinstance(op, EllOperator):
+        recv = m - m // num_devices
+        kind = "ell-allgather"
+    elif hasattr(op, "exchange_elements") and callable(op.exchange_elements):
+        ex = op.exchange_elements()
+        recv = int(ex["total"])
+        kind = "composite-v2-surface-runs"
+    else:
+        raise TypeError(f"no exchange model for {type(op).__name__}")
+    return {
+        "kind": kind,
+        "per_device_recv_elements": int(recv),
+        "per_device_recv_bytes": int(recv) * itemsize,
+        "fraction_of_m": recv / m,
+        "num_devices": int(num_devices),
+        "operator_dim": m,
+    }
 
 
 def operator_nnz(op: LinearOperator) -> int:

@@ -48,21 +48,26 @@ def build_graph_laplacian_rows(n_fine: int, box_depth: int = 3):
     nbrs, rels = find_neighbors(lat, 1)
     t_nbrs = time.time() - t0
 
-    # Edge reciprocity: keep (i -> j) only if (j -> i) exists.  Vectorized
-    # membership test on sorted edge keys.
+    # Edge reciprocity: keep (i -> j) only if (j -> i) exists.  Native row
+    # scan when the C++ engine is available (246 s -> seconds at 341M
+    # edges); numpy sorted-key membership fallback otherwise.
+    from lanczos_tpu.native import reciprocal_mask_native
+
     t0 = time.time()
     p, k = nbrs.shape
-    rows = np.repeat(np.arange(p, dtype=np.int64), k)
-    cols = nbrs.reshape(-1)
-    valid = cols >= 0
-    rows_v, cols_v = rows[valid], cols[valid]
-    fwd = rows_v * p + cols_v
-    bwd = np.sort(cols_v * p + rows_v)
-    pos = np.minimum(np.searchsorted(bwd, fwd), len(bwd) - 1)
-    recip = bwd[pos] == fwd
-    keep = np.zeros(rows.shape[0], dtype=bool)
-    keep[valid] = recip
-    keep = keep.reshape(p, k)
+    keep = reciprocal_mask_native(nbrs)
+    if keep is None:
+        rows = np.repeat(np.arange(p, dtype=np.int64), k)
+        cols = nbrs.reshape(-1)
+        valid = cols >= 0
+        rows_v, cols_v = rows[valid], cols[valid]
+        fwd = rows_v * p + cols_v
+        bwd = np.sort(cols_v * p + rows_v)
+        pos = np.minimum(np.searchsorted(bwd, fwd), len(bwd) - 1)
+        recip = bwd[pos] == fwd
+        keep = np.zeros(p * k, dtype=bool)
+        keep[valid] = recip
+        keep = keep.reshape(p, k)
     nbrs = np.where(keep, nbrs, -1)
     weights = np.where(keep, -1.0, 0.0)
     deg = keep.sum(axis=1).astype(np.float64)
@@ -239,12 +244,14 @@ def main():
 
     # TRUE residuals in fp64 on the host matrix (oracle arithmetic),
     # reported for the FIRST k pairs (the buffer pairs guard the deflation
-    # window and are dropped).
+    # window and are dropped).  Column-chunked: a monolithic
+    # ``L @ Xl_k - Xl_k * lam`` materializes two extra (p, k) fp64 blocks
+    # (~20 GB at north-star scale) — the r4 run OOMed the host; chunks of
+    # ``col_chunk`` columns bound the temporaries to ~1 GB.
     import scipy.sparse
 
     order = np.argsort(lam)[: args.k]
-    lam_k = lam[order]
-    Xl_k = X64[:, order][idx_map, :]  # lattice-order vectors
+    lam_rep = lam[order] - shift
 
     rows = np.repeat(np.arange(p, dtype=np.int64), nbrs.shape[1])
     cols = nbrs.reshape(-1)
@@ -252,12 +259,20 @@ def main():
     A = scipy.sparse.csr_matrix(
         (np.ones(m_valid.sum()), (rows[m_valid], cols[m_valid])), shape=(p, p)
     )
+    del rows, cols, m_valid
     L = scipy.sparse.diags(deg) - A  # unshifted
+    del A
     info["matrix_asymmetry"] = float(abs(L - L.T).max())
-    lam_rep = lam_k - shift
-    R = L @ Xl_k - Xl_k * lam_rep[None, :]
-    xn = np.linalg.norm(Xl_k, axis=0)
-    rnorm = np.linalg.norm(R, axis=0) / np.maximum(xn, 1e-300)
+    rnorm = np.empty(args.k)
+    xn = np.empty(args.k)
+    for lo in range(0, args.k, args.col_chunk):
+        hi = min(lo + args.col_chunk, args.k)
+        Xc = X64[:, order[lo:hi]][idx_map, :]  # lattice-order columns
+        Rc = L @ Xc - Xc * lam_rep[None, lo:hi]
+        xn[lo:hi] = np.linalg.norm(Xc, axis=0)
+        rnorm[lo:hi] = np.linalg.norm(Rc, axis=0)
+        del Xc, Rc
+    rnorm = rnorm / np.maximum(xn, 1e-300)
     true_res = rnorm / np.maximum(np.abs(lam_rep), 1.0)
     info["eigenvalues_head"] = [float(v) for v in lam_rep[:10]]
     info["true_residual_max"] = float(true_res.max())

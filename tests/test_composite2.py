@@ -209,3 +209,110 @@ def test_fused_interface_kernel_matches():
 
     y_jit = np.asarray(jax.jit(comp_fused.matvec)(jnp.asarray(x)))
     np.testing.assert_allclose(y_jit, y_ref, rtol=1e-13, atol=1e-13)
+
+
+def test_nonsym_transpose_rmatvec_matches_ell_transpose(ops):
+    """build_transpose=True materializes A^T in v2 format: rmatvec must
+    equal the scipy/ELL transpose on the genuinely non-symmetric LSQ
+    deuteron operator (reference H^T p, Irregular/IrrLanczos.py:127)."""
+    import jax.numpy as jnp
+
+    lat, ell, _, _ = ops
+    t_factor = kinetic_prefactor(lat.s)
+    nbrs, rels, weights = irregular_laplacian_rows(lat)
+    diag = t_factor * weights.sum(axis=1)
+    comp, idx_map = build_composite_v2(
+        lat, nbrs, rels, weights, diag, scale=-t_factor, dtype=np.float64,
+        min_grid_rows=4, build_transpose=True,
+    )
+    assert comp.transpose_op is not None and not comp.symmetric
+    H = ell.to_scipy()
+    # honestly non-symmetric problem
+    assert abs(H - H.T).max() > 1e-8
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=lat.num_points)
+    # ell has no potential on the diagonal here -- rebuild the oracle from
+    # rows to match comp exactly (kinetic-only diag).
+    import scipy.sparse
+
+    p = lat.num_points
+    rr = np.repeat(np.arange(p), nbrs.shape[1])
+    cc = nbrs.reshape(-1)
+    ok = cc >= 0
+    A = scipy.sparse.csr_matrix(
+        ((-t_factor) * weights.reshape(-1)[ok], (rr[ok], cc[ok])), shape=(p, p)
+    ) + scipy.sparse.diags(diag)
+    y_ref = A.T @ x
+    y_op = np.asarray(comp.rmatvec(jnp.asarray(_scatter(comp, idx_map, x))))
+    np.testing.assert_allclose(y_op[idx_map], y_ref, atol=1e-9, rtol=1e-9)
+    # forward direction still intact
+    np.testing.assert_allclose(
+        np.asarray(comp.matvec(jnp.asarray(_scatter(comp, idx_map, x))))[idx_map],
+        A @ x, atol=1e-9, rtol=1e-9,
+    )
+
+
+def test_nonsym_two_sided_runs_on_v2(ops):
+    """two_sided_lanczos over the v2 fast format (matvec + transpose-op
+    rmatvec): eigenvalues must match the dense oracle of the same matrix."""
+    import jax.numpy as jnp
+    import scipy.sparse
+
+    from lanczos_tpu.solver.two_sided import two_sided_eigs, two_sided_lanczos
+
+    lat, ell, _, _ = ops
+    t_factor = kinetic_prefactor(lat.s)
+    nbrs, rels, weights = irregular_laplacian_rows(lat)
+    diag = t_factor * weights.sum(axis=1)
+    comp, idx_map = build_composite_v2(
+        lat, nbrs, rels, weights, diag, scale=-t_factor, dtype=np.float64,
+        min_grid_rows=4, build_transpose=True,
+    )
+    n = 120
+    fac = two_sided_lanczos(
+        comp, n, op_transpose=comp.transpose(), dtype=np.float64,
+    )
+    vals, _ = two_sided_eigs(fac)
+    vals = np.sort(np.asarray(vals).real)
+    p = lat.num_points
+    rr = np.repeat(np.arange(p), nbrs.shape[1])
+    cc = nbrs.reshape(-1)
+    ok = cc >= 0
+    A = scipy.sparse.csr_matrix(
+        ((-t_factor) * weights.reshape(-1)[ok], (rr[ok], cc[ok])), shape=(p, p)
+    ) + scipy.sparse.diags(diag)
+    exact = np.sort(np.linalg.eigvals(A.toarray()).real)
+    # The extremal (largest) Ritz values converge first in Krylov methods;
+    # operator EXACTNESS is pinned by the rmatvec test above — this checks
+    # the transpose path drives a correct biorthogonal recurrence.
+    np.testing.assert_allclose(vals[-3:], exact[-3:], rtol=1e-5)
+
+
+def test_fused_interface_vmem_budget_falls_back(monkeypatch):
+    """When the planned VMEM-resident operand volume exceeds the budget the
+    plan must route every class to the XLA path (advisor r4: the gridless
+    whole-array pallas_call cannot compile past ~120 MB) — and the matvec
+    must stay numerically identical."""
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("LANCZOS_IFACE_VMEM_MB", "0.001")
+    lat = _mixed_lattice(n=24)
+    t_factor = kinetic_prefactor(lat.s)
+    nbrs, rels, weights = irregular_laplacian_rows(lat)
+    diag = t_factor * weights.sum(axis=1)
+    kw = dict(scale=-t_factor, dtype=np.float64, min_grid_rows=4)
+    comp_ref, idx_map = build_composite_v2(lat, nbrs, rels, weights, diag, **kw)
+    comp_budget, _ = build_composite_v2(
+        lat, nbrs, rels, weights, diag, fuse_interface=True, **kw
+    )
+    plan = comp_budget.fused_plan
+    assert plan is not None and plan.classes == ()
+    assert len(plan.fallback) == len(comp_budget.grid_meta)
+    rng = np.random.default_rng(0)
+    x = np.zeros(comp_ref.shape[0])
+    x[idx_map] = rng.normal(size=lat.num_points)
+    np.testing.assert_allclose(
+        np.asarray(comp_budget.matvec(jnp.asarray(x))),
+        np.asarray(comp_ref.matvec(jnp.asarray(x))),
+        rtol=1e-13, atol=1e-13,
+    )

@@ -86,3 +86,25 @@ def test_assembly_through_native_backend():
     finally:
         nat._LIB, nat._TRIED = lib, tried
     np.testing.assert_allclose(a, H_np.to_scipy().toarray(), atol=1e-12)
+
+
+def test_reciprocal_mask_matches_numpy():
+    """Native reciprocity scan == the numpy sorted-key membership test
+    (scripts/northstar.py's graph symmetrization) on a mixed lattice whose
+    neighbor relation is genuinely asymmetric at spacing interfaces."""
+    lat = _mixed_lattice()
+    nbrs, _ = find_neighbors(lat, 1)
+    p, k = nbrs.shape
+    keep_native = native.reciprocal_mask_native(nbrs)
+    assert keep_native is not None and keep_native.shape == (p, k)
+    rows = np.repeat(np.arange(p, dtype=np.int64), k)
+    cols = nbrs.reshape(-1)
+    valid = cols >= 0
+    fwd = rows[valid] * p + cols[valid]
+    bwd = np.sort(cols[valid] * p + rows[valid])
+    pos = np.minimum(np.searchsorted(bwd, fwd), len(bwd) - 1)
+    keep_np = np.zeros(p * k, dtype=bool)
+    keep_np[valid] = bwd[pos] == fwd
+    np.testing.assert_array_equal(keep_native, keep_np.reshape(p, k))
+    # the relation IS asymmetric somewhere (else the test proves nothing)
+    assert (~keep_native & (nbrs >= 0)).any()
