@@ -136,10 +136,24 @@ def cmd_solve_irregular(args):
                     vecs = back
                 save_eigpairs(args.out, res.eigenvalues, vecs)
         else:
-            h = lt.assemble_irregular_hamiltonian(
-                lat, lt.deuteron_potential_3d, symmetrize=None,
-                dtype=args.dtype,
-            )
+            # Two-sided biorthogonal path (reference IrrLanczos.py:77-187).
+            # On TPU both directions run on the fast v2 composite format:
+            # H^T is materialized at assembly (build_transpose, r5).
+            perm2 = None
+            if jax.default_backend() != "cpu":
+                from lanczos_tpu.models.irr_hamiltonian import (
+                    assemble_irregular_hamiltonian_composite2,
+                )
+
+                h, perm2 = assemble_irregular_hamiltonian_composite2(
+                    lat, lt.deuteron_potential_3d, dtype=args.dtype,
+                    build_transpose=True,
+                )
+            else:
+                h = lt.assemble_irregular_hamiltonian(
+                    lat, lt.deuteron_potential_3d, symmetrize=None,
+                    dtype=args.dtype,
+                )
             fac = lt.two_sided_lanczos(
                 h, args.n, seed=args.seed, op_transpose=h.transpose(),
                 dtype=args.dtype, compensated=args.compensated,
@@ -153,7 +167,10 @@ def cmd_solve_irregular(args):
             if args.out:
                 from lanczos_tpu.utils.io import save_eigpairs
 
-                save_eigpairs(args.out, res.eigenvalues, res.eigenvectors)
+                vecs = np.asarray(res.eigenvectors)
+                if perm2 is not None:
+                    vecs = vecs[perm2, :]  # region layout -> lattice order
+                save_eigpairs(args.out, res.eigenvalues, vecs)
     else:
         h = lt.assemble_irregular_hamiltonian(
             lat, lt.deuteron_potential_3d, symmetrize=args.symmetrize,

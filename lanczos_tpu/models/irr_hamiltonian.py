@@ -232,6 +232,8 @@ def assemble_irregular_hamiltonian_composite2(
     rest_energy: float = DEUTERON_REDUCED_REST_ENERGY_MEV,
     dtype=np.float32,
     min_grid_rows: int = 16,
+    build_transpose: bool = False,
+    fuse_interface: bool = False,
 ):
     """H = -T + V as a CompositeV2 (region-native strided irregular format).
 
@@ -240,6 +242,11 @@ def assemble_irregular_hamiltonian_composite2(
     ``v_op[idx_map]`` (see ops.composite2).  Numerically identical to the
     padded-ELL assembly; roughly 2x the v1 composite SpMV throughput and
     lattice-size-independent interface cost.
+
+    ``build_transpose=True`` materializes H^T in the same format so the
+    two-sided recurrence (reference IrrLanczos.py:126-127) runs both
+    directions at v2 speed; ``fuse_interface=True`` enables the Pallas
+    fused interface kernel (ops.interface_kernel).
     """
     import jax
 
@@ -258,7 +265,8 @@ def assemble_irregular_hamiltonian_composite2(
             )
     return build_composite_v2(
         lat, nbrs, rels, weights, diag, scale=-t_factor, dtype=dtype,
-        min_grid_rows=min_grid_rows,
+        min_grid_rows=min_grid_rows, build_transpose=build_transpose,
+        fuse_interface=fuse_interface,
     )
 
 

@@ -110,6 +110,19 @@ def main():
         "instead of re-solving when the file exists",
     )
     ap.add_argument(
+        "--checkpoint", default="",
+        help="npz path for PER-CYCLE solver checkpoints (locked block + "
+        "restart vector) — a tunnel stall mid-solve then costs one cycle, "
+        "not the whole 45-minute solve (r5: the first attempt stalled at "
+        "cycle 49 with zero socket traffic); the solve resumes from the "
+        "file when it exists",
+    )
+    ap.add_argument(
+        "--checkpoint-every", type=int, default=10,
+        help="cycles between solver checkpoints (the state is ~6 GB at "
+        "north-star scale; every cycle would saturate the disk)",
+    )
+    ap.add_argument(
         "--scipy-json", default="",
         help="merge the race result of a standalone parallel "
         "scripts/northstar_scipy.py run instead of racing in-process",
@@ -194,6 +207,8 @@ def main():
             max_cycles=args.max_cycles,
             rr_verify=False,
             verbose=True,
+            checkpoint_path=args.checkpoint or None,
+            checkpoint_every=args.checkpoint_every,
         )
         info["t_solve_fp32_s"] = time.time() - t0
         lam32 = np.asarray(res.eigenvalues, np.float64)

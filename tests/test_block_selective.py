@@ -150,3 +150,30 @@ def test_block_restarted_fp32_irregular(rng):
     np.testing.assert_allclose(
         np.sort(np.asarray(res.eigenvalues)), exact, atol=5e-4, rtol=1e-4
     )
+
+
+def test_block_breakdown_rank_deficient_start(rng):
+    """Breakdown cure (_qr_cure_breakdown): on a LOW-RANK operator the
+    residual block goes rank-deficient once the Krylov space is exhausted
+    (degenerate-multiplet limit).  Without the cure, qr() returns arbitrary
+    non-orthogonal columns and the basis silently corrupts; with it, the
+    deficient directions are replaced by fresh orthonormalized randoms and
+    their couplings zeroed."""
+    m = 120
+    B = rng.standard_normal((m, 6))
+    A = B @ B.T  # rank 6: Krylov per start column exhausts after ~2 blocks
+    from lanczos_tpu.ops.operators import DenseOperator
+
+    op = DenseOperator(jnp.asarray(A))
+    fac = block_lanczos(op, num_blocks=5, block_size=4, dtype=np.float64)
+    Q = np.asarray(fac.Q).reshape(5 * 4, m).T  # (m, 20) basis columns
+    # basis stays orthonormal through the breakdown
+    assert check_orthogonal(Q) < 1e-8
+    assert np.isfinite(np.asarray(fac.a_blocks)).all()
+    assert np.isfinite(np.asarray(fac.b_blocks)).all()
+    # the model still recovers the rank-6 spectrum's top eigenvalues
+    vals, _, _ = block_ritz(fac)
+    exact = np.sort(np.linalg.eigvalsh(A))
+    np.testing.assert_allclose(
+        np.sort(np.asarray(vals))[-6:], exact[-6:], rtol=1e-8, atol=1e-8
+    )

@@ -174,6 +174,7 @@ def test_refine_small_irregular_vs_scipy():
     np.testing.assert_allclose(np.sort(lam[:k]), exact, atol=1e-8, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_refine_million_point_operator():
     """>= 1M-point operator to <= 1e-8 TRUE relative residual with fp32
     pairs (the BASELINE.md north-star accuracy criterion).

@@ -318,6 +318,7 @@ def test_sharded_composite_v2_matmat_matches(mesh, composite_v2_pair, rng):
         )
 
 
+@pytest.mark.slow
 def test_sharded_composite_v2_restarted_solve_matches(mesh, composite_v2_pair):
     """Thick-restart Lanczos over the sharded CompositeV2 == single-device
     (the actual north-star production pipeline's multi-chip form)."""
@@ -375,6 +376,7 @@ def test_sharded_stencil_pallas_path_matches(mesh):
     np.testing.assert_allclose(y, y_ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sharded_eigsh_restarted_matches(mesh):
     """Thick-restart Lanczos on a row-sharded SYMMETRIC operator ==
     single-device (the north-star engine's multi-chip form, SURVEY §7.8).

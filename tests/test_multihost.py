@@ -103,6 +103,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 @pytest.mark.timeout(240)
 def test_two_process_rows_mesh(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -149,6 +150,7 @@ def test_two_process_rows_mesh(tmp_path):
         assert float(val) == float(sum(range(16)))
 
 
+@pytest.mark.slow
 @pytest.mark.timeout(300)
 def test_two_process_lanczos_solver():
     """Full row-sharded Lanczos across a REAL process boundary: psum'd
