@@ -6,4 +6,10 @@ from .io import (
     save_eigpairs,
     save_ell,
 )
-from .metrics import MatvecStats, benchmark_matvec, operator_nnz, profile_trace
+from .metrics import (
+    MatvecStats,
+    benchmark_matvec,
+    exchange_stats,
+    operator_nnz,
+    profile_trace,
+)

@@ -157,6 +157,7 @@ def test_sharded_composite_matvec_matches(mesh, composite_pair, rng):
     np.testing.assert_array_equal(y_sh * (1 - sc.live_mask()), 0.0)
 
 
+@pytest.mark.slow
 def test_sharded_composite_solve_matches(mesh, composite_pair):
     """Krylov-Schur on the sharded composite == single-device, to 1e-9."""
     from lanczos_tpu import eigs_nonsym
@@ -206,6 +207,7 @@ def composite_v2_pair():
     return comp, idx_map
 
 
+@pytest.mark.slow
 def test_sharded_composite_v2_matvec_matches(mesh, composite_v2_pair, rng):
     """z-slab sharded CompositeV2 (ppermute level halos + surface-run
     exchange) == single-device (VERDICT r3 missing #2).  degenerate_frac
@@ -303,6 +305,7 @@ def test_sharded_composite_v2_fused_interface_matches(rng):
     np.testing.assert_allclose(host.from_sharded(y_sh), y_ref, atol=1e-11)
 
 
+@pytest.mark.slow
 def test_sharded_composite_v2_matmat_matches(mesh, composite_v2_pair, rng):
     comp, _ = composite_v2_pair
     op = shard_operator(comp, mesh)
@@ -408,3 +411,29 @@ def test_sharded_eigsh_restarted_matches(mesh):
         rtol=1e-9, atol=1e-9,
     )
     assert float(np.max(np.asarray(res_s.residuals))) < 1e-8
+
+
+def test_exchange_stats_models(mesh):
+    """exchange_stats (VERDICT r4 next #9): the per-matvec ICI exchange
+    model for each sharded SpMV format — stencil ppermute planes, ELL
+    all-gather, halo-compressed export table."""
+    from lanczos_tpu.parallel import shard_ell_halo
+    from lanczos_tpu.utils.metrics import exchange_stats
+
+    H = build_regular_hamiltonian(
+        32, 25.0, deuteron_potential_3d, stencil="27", dtype="float32"
+    )
+    n_dev = 8
+    m = H.shape[0]
+    st = exchange_stats(H, n_dev)
+    # 2 halo planes of 32x32 per device, fp32
+    assert st["per_device_recv_elements"] == 2 * 32 * 32
+    assert st["per_device_recv_bytes"] == 2 * 32 * 32 * 4
+    ell = H.to_ell()
+    ag = exchange_stats(ell, n_dev)
+    assert ag["per_device_recv_elements"] == m - m // n_dev
+    hop = shard_ell_halo(ell, mesh)
+    ha = exchange_stats(hop, n_dev)
+    # the halo table is strictly thinner than the all-gather
+    assert ha["per_device_recv_elements"] < ag["per_device_recv_elements"]
+    assert 0 < ha["fraction_of_m"] < 1
