@@ -311,27 +311,30 @@ def _is_transient(e: Exception) -> bool:
     return any(m in msg for m in _TRANSIENT_MARKERS)
 
 
-def _device_retry(fn, tries=3, wait=20.0):
+_RETRY_WAITS = (20.0, 60.0, 120.0, 300.0, 600.0)
+
+
+def _device_retry(fn, waits=_RETRY_WAITS):
     """Retry a pure device-call unit across transient tunnel failures.
 
     The axon runtime's remote_compile intermittently drops its response
-    mid-body (observed twice at north-star scale, 2026-08-21), surfacing
-    as JaxRuntimeError INTERNAL; the call is pure, so re-issuing it is
-    safe and usually succeeds (a genuinely dead worker still raises after
-    the retries).  The 20 s wait matches the tunnel's observed recovery
-    time (ROADMAP quirks).  Non-transient exceptions re-raise immediately
-    (see _is_transient)."""
+    mid-body, surfacing as JaxRuntimeError INTERNAL; the call is pure, so
+    re-issuing it is safe.  The ESCALATING wait ladder (total ~18 min)
+    matters: the tunnel's observed outages last ~10 MINUTES (r5: two
+    mid-solve stalls of 10-12 min each, and the r5 first refinement
+    attempt died because 3 x 20 s retries all landed inside one outage).
+    Non-transient exceptions re-raise immediately (see _is_transient)."""
     import time as _time
 
-    for attempt in range(tries):
+    for attempt, wait in enumerate((*waits, None)):
         try:
             return fn()
         except Exception as e:
-            if attempt == tries - 1 or not _is_transient(e):
+            if wait is None or not _is_transient(e):
                 raise
             print(
                 f"[refine] transient device fault ({type(e).__name__}); "
-                f"retry {attempt + 1}/{tries - 1} in {wait:.0f}s",
+                f"retry {attempt + 1}/{len(waits)} in {wait:.0f}s",
                 flush=True,
             )
             _time.sleep(wait)

@@ -233,22 +233,30 @@ def main():
         info["t_refine_s"] = 0.0
     else:
         t0 = time.time()
-        try:
-            lam, X64, rel = refine_eigenpairs_dd_hosted(
-                comp, lam32, X64,
-                tol=args.tol,
-                max_rounds=args.refine_rounds,
-                cg_steps=args.cg_steps,
-                col_chunk=args.col_chunk,
-                k_report=args.k,
-                verbose=True,
-            )
-        except Exception as e:  # worker crash / OOM: keep what we have
-            info["refine_error"] = f"{type(e).__name__}: {e}"[:400]
-            lam = lam32
-            rel = np.full(kk, np.nan)
-            print(f"[northstar] REFINE FAILED ({type(e).__name__}) — "
-                  f"continuing with fp32 pairs", flush=True)
+        # Script-level retry on top of the per-call device retry: X64 is
+        # refined IN PLACE, so a failed attempt resumes from wherever the
+        # previous one got to (the r5 first attempt lost its round-0
+        # progress to a single ~10-min tunnel outage).
+        lam = lam32
+        rel = np.full(kk, np.nan)
+        for attempt in range(3):
+            try:
+                lam, X64, rel = refine_eigenpairs_dd_hosted(
+                    comp, lam, X64,
+                    tol=args.tol,
+                    max_rounds=args.refine_rounds,
+                    cg_steps=args.cg_steps,
+                    col_chunk=args.col_chunk,
+                    k_report=args.k,
+                    verbose=True,
+                )
+                info.pop("refine_error", None)
+                break
+            except Exception as e:  # worker crash / OOM: keep what we have
+                info["refine_error"] = f"{type(e).__name__}: {e}"[:400]
+                print(f"[northstar] REFINE attempt {attempt} FAILED "
+                      f"({type(e).__name__}); state kept", flush=True)
+                time.sleep(120.0)
         info["t_refine_s"] = time.time() - t0
         print(f"[northstar] dd refine {info['t_refine_s']:.1f}s "
               f"max rel {np.nanmax(rel):.2e}", flush=True)
