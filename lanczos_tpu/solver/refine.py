@@ -333,7 +333,8 @@ def _device_retry(fn, waits=_RETRY_WAITS):
             if wait is None or not _is_transient(e):
                 raise
             print(
-                f"[refine] transient device fault ({type(e).__name__}); "
+                f"[refine] transient device fault ({type(e).__name__}: "
+                f"{str(e)[:160]}); "
                 f"retry {attempt + 1}/{len(waits)} in {wait:.0f}s",
                 flush=True,
             )

@@ -225,8 +225,26 @@ def main():
     # Double-word refinement (host-anchored fp64 master, chunked fp32-pair
     # device compute).  A TPU-worker crash mid-refinement must not lose the
     # run: fall back to the unrefined fp32 pairs and record the failure.
-    X64 = np.asarray(X32, np.float64)
-    del X32
+    #
+    # CROSS-PROCESS RESUME: after a long tunnel outage the jax client's
+    # device connection is permanently dead — every later device call fails
+    # instantly and only a process restart re-handshakes (observed r5).
+    # The script therefore saves (lam, X64) to --save-vectors even when
+    # refinement fails, and RESUMES from that file here: X64 is refined in
+    # place, and the in-span identity S = X^T R + G diag(lam) is exact for
+    # WHATEVER lam the residual was computed at, so a partially-refined
+    # (lam, X64) pair is a valid refinement starting point.
+    if args.save_vectors and os.path.exists(args.save_vectors):
+        print(f"[northstar] resuming refinement state from "
+              f"{args.save_vectors}", flush=True)
+        with np.load(args.save_vectors) as z:
+            lam32 = np.asarray(z["lam"], np.float64)
+            X64 = np.asarray(z["X64"], np.float64)
+        info["refine_resumed_from_vectors"] = True
+        del X32
+    else:
+        X64 = np.asarray(X32, np.float64)
+        del X32
     if args.skip_refine:
         lam = lam32
         rel = np.full(kk, np.nan)
