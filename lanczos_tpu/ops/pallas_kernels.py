@@ -55,7 +55,17 @@ __all__ = [
 
 
 def pallas_supported() -> bool:
-    """True when the current default backend can run these kernels compiled."""
+    """True when the current default backend can run these kernels compiled.
+
+    ``LANCZOS_NO_PALLAS=1`` forces the XLA roll/einsum paths instead — the
+    escape hatch for environments where a Mosaic kernel (or its compile)
+    faults the TPU worker ("TPU worker process crashed ... kernel fault",
+    observed twice during the r5 north-star refinement CG phase).  NOTE:
+    operators built with a fused interface plan would run it in interpret
+    mode under this flag — build with fuse_interface=False when using it.
+    """
+    if _os.environ.get("LANCZOS_NO_PALLAS"):
+        return False
     return jax.default_backend() == "tpu"
 
 
