@@ -108,7 +108,7 @@ def _deflated_cg(op, X, lam, R, steps: int):
     Pv = Rc
     rho = _col_dots(Rc, Rc)
 
-    def body(i, carry):
+    def body(carry, _):
         D, Rc, Pv, rho = carry
         Ap = apply(Pv)
         denom = _col_dots(Pv, Ap)
@@ -121,9 +121,15 @@ def _deflated_cg(op, X, lam, R, steps: int):
         rho_new = _col_dots(Rc_new, Rc_new)
         beta = rho_new / jnp.where(rho != 0, rho, 1.0)
         Pv = Rc_new + Pv * beta[None, :]
-        return D, Rc_new, Pv, rho_new
+        return (D, Rc_new, Pv, rho_new), None
 
-    D, Rc, Pv, rho = jax.lax.fori_loop(0, steps, body, (D, Rc, Pv, rho))
+    # lax.scan, NOT fori_loop: this exact body (composite matmat + big-K
+    # deflation matmuls) inside a fori_loop reproducibly crashes the TPU
+    # worker ("kernel fault", 4/4 at north-star scale, r5 — with AND
+    # without Pallas), while the scan lowering of the same body runs fine.
+    (D, Rc, Pv, rho), _ = jax.lax.scan(
+        body, (D, Rc, Pv, rho), None, length=steps
+    )
     return project(D)
 
 
@@ -156,7 +162,7 @@ def _deflated_bicgstab(op, X, lam, R, steps: int):
     rho = _col_dots(R0, Rc)
     tiny = jnp.finfo(B.dtype).tiny * 1e8
 
-    def body(i, carry):
+    def body(carry, _):
         D, Rc, P, rho = carry
         V = apply(P)
         den_a = _col_dots(R0, V)
@@ -180,9 +186,12 @@ def _deflated_bicgstab(op, X, lam, R, steps: int):
             0.0,
         )
         P_new = Rc_new + (P - V * omega[None, :]) * beta[None, :]
-        return D, Rc_new, P_new, rho_new
+        return (D, Rc_new, P_new, rho_new), None
 
-    D, Rc, P, rho = jax.lax.fori_loop(0, steps, body, (D, Rc, P, rho))
+    # scan, not fori_loop — see _deflated_cg (TPU-worker fori_loop fault).
+    (D, Rc, P, rho), _ = jax.lax.scan(
+        body, (D, Rc, P, rho), None, length=steps
+    )
     return project(D)
 
 
