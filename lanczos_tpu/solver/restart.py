@@ -277,8 +277,65 @@ def eigsh_restarted(
             jax.random.PRNGKey(seed), (mdim,), dtype=dtype, minval=-1, maxval=1
         )
     vs = tuple(getattr(op, "vec_shape", (mdim,)))
-    u = (v0 / jnp.linalg.norm(v0)).astype(dtype).reshape(vs)
+    sigma = jnp.zeros((0,), dtype)
+    theta = np.zeros(0)
+    l = 0
+    history = []
+    refined = None  # best (lam, Xr, true_resid) seen so far
+    best_rel = np.inf
+    cycle0 = 0
+
+    # Checkpoint resume is resolved BEFORE the random start vector so a
+    # resumed run never touches v0.  The locked block is merged into the
+    # device basis in DONATED ~256 MB row chunks: an eager
+    # ``V.at[:l].set(locked)`` compiles to a program holding both the old
+    # and the updated basis copy — 2 x 9.2 GB at north-star scale (m=176,
+    # M=13.1M fp32), which OOMed the 16 GB chip on the r5 resume attempt —
+    # and a single 6 GB host->device transfer risks the same tunnel stall
+    # the monolithic device->host readback hit in r4.  Donation keeps the
+    # device peak at one basis + one chunk; a traced start index keeps it
+    # at one compile.
+    V_locked = None
+    if checkpoint_path is not None:
+        import os
+
+        from ..utils.checkpoint import load_restart_state, save_restart_state
+
+        if os.path.exists(checkpoint_path):
+            V_locked, u_np, theta, sigma_np, cycle0 = load_restart_state(
+                checkpoint_path
+            )
+            l = V_locked.shape[0]
+            u = jnp.asarray(u_np, dtype=dtype).reshape(vs)
+            sigma = jnp.asarray(sigma_np, dtype)
+            theta = np.asarray(theta, np.float64)
+
+    if V_locked is None:
+        u = (v0 / jnp.linalg.norm(v0)).astype(dtype).reshape(vs)
     V = jnp.zeros((m + 1, *vs), dtype=dtype)
+    if V_locked is not None:
+        import functools
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def _set_rows(V, rows, start):
+            flat = V.reshape(m + 1, -1)
+            flat = jax.lax.dynamic_update_slice(
+                flat, rows.reshape(rows.shape[0], -1),
+                (start, jnp.zeros((), start.dtype)),
+            )
+            return flat.reshape(V.shape)
+
+        row_bytes = int(np.prod(vs)) * np.dtype(dtype).itemsize
+        chunk = min(l, max(1, (1 << 28) // row_bytes))
+        Vl = np.asarray(V_locked, np.dtype(dtype)).reshape(l, *vs)
+        del V_locked
+        for s in range(0, l, chunk):
+            if s + chunk > l:
+                s = l - chunk  # full-width window; overlap rewrites are
+                # idempotent and keep the jitted shape (= one compile)
+            V = _set_rows(V, jnp.asarray(Vl[s : s + chunk]), jnp.int32(s))
+        del Vl
+        V_locked = True  # sentinel: resumed
 
     # Row-sharded operators (ops.composite.ShardedCompositeOperator,
     # parallel.composite2.ShardedCompositeV2 — anything exposing mesh +
@@ -291,7 +348,7 @@ def eigsh_restarted(
         from jax.sharding import NamedSharding, PartitionSpec
 
         host = getattr(op, "host", None)
-        if host is not None:
+        if host is not None and cycle0 == 0:
             u = u * jnp.asarray(host.live_mask(), dtype=dtype).reshape(vs)
             u = u / jnp.linalg.norm(u)
         u = jax.device_put(
@@ -300,28 +357,6 @@ def eigsh_restarted(
         V = jax.device_put(
             V, NamedSharding(op_mesh, PartitionSpec(None, op.axis_name))
         )
-    sigma = jnp.zeros((0,), dtype)
-    theta = np.zeros(0)
-    l = 0
-    history = []
-    refined = None  # best (lam, Xr, true_resid) seen so far
-    best_rel = np.inf
-    cycle0 = 0
-
-    if checkpoint_path is not None:
-        import os
-
-        from ..utils.checkpoint import load_restart_state, save_restart_state
-
-        if os.path.exists(checkpoint_path):
-            V_locked, u_np, theta, sigma_np, cycle0 = load_restart_state(
-                checkpoint_path
-            )
-            l = V_locked.shape[0]
-            V = V.at[:l].set(jnp.asarray(V_locked, dtype=dtype).reshape(l, *vs))
-            u = jnp.asarray(u_np, dtype=dtype).reshape(vs)
-            sigma = jnp.asarray(sigma_np, dtype)
-            theta = np.asarray(theta, np.float64)
 
     for cycle in range(cycle0, max_cycles):
         V, alpha, beta, u, beta_last = _cycle_jit(
