@@ -317,6 +317,13 @@ def _is_transient(e: Exception) -> bool:
     msg = str(e)
     if "RESOURCE_EXHAUSTED" in msg:  # genuine HBM OOM: deterministic
         return False
+    if "worker process crashed" in msg:
+        # A Mosaic kernel fault kills the TPU worker and the jax client is
+        # PERMANENTLY dead afterwards (r5: every later device call fails
+        # instantly; only a process restart re-handshakes).  Retrying
+        # through the 18-minute ladder cannot help — fail fast so the
+        # caller can save state for a cross-process resume.
+        return False
     return any(m in msg for m in _TRANSIENT_MARKERS)
 
 

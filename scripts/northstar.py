@@ -274,6 +274,11 @@ def main():
                 info["refine_error"] = f"{type(e).__name__}: {e}"[:400]
                 print(f"[northstar] REFINE attempt {attempt} FAILED "
                       f"({type(e).__name__}); state kept", flush=True)
+                if "worker process crashed" in str(e):
+                    # Dead client: every further device call fails
+                    # instantly; only a NEW process (cross-process resume
+                    # via --save-vectors) can re-handshake the worker.
+                    break
                 time.sleep(120.0)
         info["t_refine_s"] = time.time() - t0
         print(f"[northstar] dd refine {info['t_refine_s']:.1f}s "
